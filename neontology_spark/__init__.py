@@ -1,0 +1,40 @@
+"""neontology_spark — a PySpark-native schema + constraint validation engine.
+
+From-scratch re-expression of ontolocy/neontology's declarative model +
+constraint semantics (Pydantic BaseNode/BaseRelationship, merge policies,
+filter DSL, referential-integrity checks) as a constraint DSL compiled to
+Spark DataFrame predicates, designed for Iceberg/Parquet tables at
+10^12-row scale. See SURVEY.md for the full reference mapping.
+"""
+
+from .filters import FilterError, compile_filters
+from .identifiers import InvalidIdentifierError, check_identifier
+from .models import (
+    MergePolicy,
+    ModelCatalog,
+    ModelError,
+    NodeModel,
+    Property,
+    RelationshipModel,
+    UniquenessConstraint,
+    UnsupportedTypeError,
+    resolve_type,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FilterError",
+    "compile_filters",
+    "InvalidIdentifierError",
+    "check_identifier",
+    "MergePolicy",
+    "ModelCatalog",
+    "ModelError",
+    "NodeModel",
+    "Property",
+    "RelationshipModel",
+    "UniquenessConstraint",
+    "UnsupportedTypeError",
+    "resolve_type",
+]

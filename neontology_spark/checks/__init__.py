@@ -1,0 +1,43 @@
+from .base import (
+    VIOLATION_SCHEMA,
+    VERDICT_SCHEMA,
+    CheckResult,
+    partition_row_counts,
+    shape_violations,
+)
+from .core import (
+    check_domain,
+    check_required,
+    check_schema,
+    check_unique,
+    duplicate_keys,
+    schema_violations_df,
+)
+from .referential import (
+    UnmatchedError,
+    ambiguous_keys,
+    check_referential,
+    resolve_endpoints,
+    unmatched_rows,
+)
+from .stats import column_stats
+
+__all__ = [
+    "VIOLATION_SCHEMA",
+    "VERDICT_SCHEMA",
+    "CheckResult",
+    "partition_row_counts",
+    "shape_violations",
+    "check_domain",
+    "check_required",
+    "check_schema",
+    "check_unique",
+    "duplicate_keys",
+    "schema_violations_df",
+    "UnmatchedError",
+    "ambiguous_keys",
+    "check_referential",
+    "resolve_endpoints",
+    "unmatched_rows",
+    "column_stats",
+]

@@ -1,0 +1,310 @@
+"""Deterministic synthetic image+caption table (BASELINE.json input_hint:
+``image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64`` + explicit ``part`` partition column) with
+planted violations per FIXTURES.md §1, and the vectorized per-row payload
+invariants (decoded-pixel PSNR ≥ 40 dB, caption equality).
+
+Codec: the container has no image libraries, so per the task spec the
+*decode* is a deterministic fake — a tiny self-describing format
+(header ``IMG1`` + w + h + uint8 luma plane) — while everything Spark-side
+(binary column plumbing, Arrow batching, schema, partitioning, UDF
+signatures, PSNR math) is real. Swapping ``_decode_batch`` for a
+PIL/libjpeg decode is a one-function change; the plan does not change.
+
+Determinism: every field is a pure function of the row index ``i`` under a
+fixed seed, generated *distributed* via ``spark.range(n)`` + mapInPandas —
+no driver-side materialization, so generation itself scales with the
+cluster. Planted violations are pure functions of ``i`` too, so tests can
+compute the exact expected violation set without reading the data.
+
+Scale notes:
+* The payload check reads (image_id, bytes, w, h, fmt, caption, part)
+  only; stats/uniqueness checks never touch ``bytes`` (column pruning —
+  verified in tests via the physical plan's ReadSchema).
+* PSNR runs in ``mapInPandas`` over Arrow batches: numpy-vectorized per
+  batch, zero per-row Python in the hot loop beyond the per-image decode
+  (bounded, reconstructable from width*height).
+* ``phash`` is synthesized with a hot-key cluster (FIXTURES.md) to
+  exercise the salted duplicate-key aggregation path.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .models import MergePolicy, NodeModel, Property
+
+MAGIC = b"IMG1"
+SEED = 42
+N_PARTS_DEFAULT = 8
+
+# planted-violation layout (pure functions of row index i, n = table size):
+#   duplicate image_id: rows 11 and 13 reuse the ids of rows 10 and 12
+#   duplicate phash hot cluster: every i % 97 == 5 shares phash HOT_PHASH
+#   NULL caption (required-in-model? caption is nullable — plant NULL fmt
+#     instead): rows 21, 22, 23 have NULL fmt (required column)
+#   fmt outside domain: rows 31, 32 have fmt='bmp'
+#   drift: partition (n_parts-1) has w,h drawn from a shifted distribution
+#   corrupted bytes (PSNR fail): rows 41, 42
+#   caption mismatch: row 51
+HOT_PHASH = 0x5EED5EED
+DUP_ID_PAIRS = ((10, 11), (12, 13))
+NULL_FMT_ROWS = (21, 22, 23)
+BAD_FMT_ROWS = (31, 32)
+CORRUPT_ROWS = (41, 42)
+CAPTION_MISMATCH_ROWS = (51,)
+FMT_DOMAIN = ("png", "jpeg", "webp")
+
+
+def image_model() -> NodeModel:
+    """The node model for the images table (input_hint shape)."""
+    return NodeModel(
+        label="Image",
+        primary_property="image_id",
+        properties=[
+            Property("image_id", str, required=True),
+            Property("bytes", bytes, required=True),
+            Property("w", "int", required=True),
+            Property("h", "int", required=True),
+            Property("fmt", str, required=True, enum_values=FMT_DOMAIN),
+            Property("caption", str, required=False),
+            Property("phash", int, required=True),
+            Property("part", "int", required=True),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-row synthesis (numpy-vectorized inside Arrow batches)
+# ---------------------------------------------------------------------------
+
+
+def _rng(i: int) -> np.random.Generator:
+    return np.random.Generator(np.random.Philox(key=SEED, counter=[int(i), 0, 0, 0]))
+
+
+def _dims(i: np.ndarray, n_parts: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(w, h, part) per row. The last partition's dims are shifted ~1.5×
+    (the planted drift)."""
+    part = i % n_parts
+    base_w = 32 + (i * 2654435761 % 97) % 64  # 32..95
+    base_h = 32 + (i * 40503 % 89) % 64
+    shifted = part == (n_parts - 1)
+    w = np.where(shifted, (base_w * 3) // 2, base_w).astype(np.int32)
+    h = np.where(shifted, (base_h * 3) // 2, base_h).astype(np.int32)
+    return w, h, part.astype(np.int32)
+
+
+def _pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Reference luma plane for image i — deterministic, cheap."""
+    g = _rng(i)
+    return g.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def _encode(px: np.ndarray, fmt: str) -> bytes:
+    """Fake codec. 'jpeg'/'webp' are 'lossy': quantize to steps of 3 —
+    worst-case error 2/255 ⇒ PSNR ≈ 20·log10(255/2) ≈ 42 dB > 40 dB."""
+    h, w = px.shape
+    if fmt in ("jpeg", "webp"):
+        px = (px // 3 * 3).astype(np.uint8)
+    return MAGIC + struct.pack("<II", w, h) + px.tobytes()
+
+
+def _decode(b: bytes) -> Optional[np.ndarray]:
+    if b is None or len(b) < 12 or b[:4] != MAGIC:
+        return None
+    w, h = struct.unpack("<II", b[4:12])
+    body = np.frombuffer(b, dtype=np.uint8, offset=12)
+    if body.size != w * h:
+        return None
+    return body.reshape(h, w)
+
+
+def golden_caption(i: int) -> str:
+    return f"a synthetic image number {i}"
+
+
+def expected_phash(i: int) -> int:
+    if i % 97 == 5:
+        return HOT_PHASH
+    return (i * 0x9E3779B97F4A7C15) % (1 << 63)
+
+
+def _gen_batch(pdf: pd.DataFrame, n_parts: int) -> pd.DataFrame:
+    i = pdf["id"].to_numpy()
+    w, h, part = _dims(i, n_parts)
+    dup_map = {b: a for a, b in DUP_ID_PAIRS}
+    ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
+    for k, idx in enumerate(i):
+        idx = int(idx)
+        # duplicate-image_id plants are FULL clones of the source row
+        # (same pixels/dims/caption/phash) so only uniqueness trips, not
+        # the payload invariants
+        src = dup_map.get(idx, idx)
+        if src != idx:
+            sw, sh, _ = _dims(np.array([src]), n_parts)
+            iw, ih = int(sw[0]), int(sh[0])
+        else:
+            iw, ih = int(w[k]), int(h[k])
+        ids.append(f"img_{src:012d}")
+        ws.append(iw)
+        hs.append(ih)
+        fmt = FMT_DOMAIN[src % 3]
+        px = _pixels(src, iw, ih)
+        if idx in CORRUPT_ROWS:
+            # structurally valid container, garbage pixels → PSNR ≪ 40
+            g = _rng(idx + 10**9)
+            px_bad = g.integers(0, 256, size=px.shape, dtype=np.uint8)
+            blobs.append(_encode(px_bad, fmt))
+        else:
+            blobs.append(_encode(px, fmt))
+        if idx in NULL_FMT_ROWS:
+            fmts.append(None)
+        elif idx in BAD_FMT_ROWS:
+            fmts.append("bmp")
+        else:
+            fmts.append(fmt)
+        if idx in CAPTION_MISMATCH_ROWS:
+            captions.append("this caption does not match the golden one")
+        else:
+            captions.append(golden_caption(src))
+        phashes.append(expected_phash(src) - (1 << 63))  # signed int64 range
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "bytes": blobs,
+            "w": np.array(ws, dtype=np.int32),
+            "h": np.array(hs, dtype=np.int32),
+            "fmt": fmts,
+            "caption": captions,
+            "phash": np.array(phashes, dtype=np.int64),
+            "part": part,
+        }
+    )
+
+
+IMAGE_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, part int"
+)
+
+
+def generate_images(
+    spark: SparkSession,
+    n_rows: int = 10_000,
+    n_parts: int = N_PARTS_DEFAULT,
+    plant_violations: bool = True,
+) -> DataFrame:
+    """Distributed deterministic synthesis of the images table.
+
+    ``plant_violations=False`` yields a clean table (row index offset past
+    all plant sites while keeping determinism) — used for baseline
+    snapshots in drift checks and for clean-path benches.
+    """
+    base = spark.range(0, n_rows, 1, numPartitions=min(n_parts * 4, 64))
+    if not plant_violations:
+        base = base.select((F.col("id") + 1_000_000_000).alias("id"))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _gen_batch(pdf, n_parts)
+
+    return base.mapInPandas(gen, schema=IMAGE_DDL)
+
+
+# ---------------------------------------------------------------------------
+# payload invariants: PSNR ≥ 40 dB vs reference decode + caption equality
+# (input_hint: vectorized pandas/Arrow UDFs only — no per-row Python loops
+# other than the bounded per-image decode itself)
+# ---------------------------------------------------------------------------
+
+PSNR_THRESHOLD_DB = 40.0
+
+PAYLOAD_DDL = (
+    "part int, image_id string, psnr double, decode_ok boolean, "
+    "caption_ok boolean"
+)
+
+
+def payload_check_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode each blob, PSNR vs the reference pixels
+    (re-derived from the row's deterministic seed — in a real deployment
+    this would be the original/reference decode), plus caption equality.
+
+    Arrow hands us columnar batches; numpy does the pixel math. The only
+    Python-level loop is per image (unavoidable: variable-size buffers),
+    and each iteration is pure numpy on the whole pixel plane.
+    """
+    for pdf in it:
+        n = len(pdf)
+        psnr = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for k in range(n):
+            px = _decode(pdf["bytes"].iloc[k])
+            if px is None:
+                continue
+            ok[k] = True
+            # reference pixels keyed by the *row identity* encoded in
+            # image_id (deterministic stand-in for a golden decode)
+            i = int(pdf["image_id"].iloc[k].rsplit("_", 1)[1])
+            ref = _pixels(i, px.shape[1], px.shape[0])
+            if ref.shape != px.shape:
+                ok[k] = False
+                continue
+            mse = np.mean((ref.astype(np.float64) - px.astype(np.float64)) ** 2)
+            psnr[k] = np.inf if mse == 0 else 20 * np.log10(255.0) - 10 * np.log10(mse)
+        golden = pdf["image_id"].map(
+            lambda s: golden_caption(int(s.rsplit("_", 1)[1]))
+        )
+        cap_ok = (pdf["caption"] == golden).fillna(False).to_numpy()
+        yield pd.DataFrame(
+            {
+                "part": pdf["part"],
+                "image_id": pdf["image_id"],
+                "psnr": psnr,
+                "decode_ok": ok,
+                "caption_ok": cap_ok,
+            }
+        )
+
+
+def check_payload(images: DataFrame) -> DataFrame:
+    """Violation rows for the payload invariants, VIOLATION_SCHEMA-shaped.
+
+    Projects to the needed columns *before* the UDF so Arrow ships only
+    (part, image_id, bytes, caption) — w/h/fmt/phash never cross the
+    Python boundary.
+    """
+    scored = images.select("part", "image_id", "bytes", "caption").mapInPandas(
+        payload_check_batches, schema=PAYLOAD_DDL
+    )
+    bad = scored.filter(
+        (~F.col("decode_ok"))
+        | (F.col("psnr") < PSNR_THRESHOLD_DB)
+        | (~F.col("caption_ok"))
+    )
+    from .checks.base import shape_violations
+
+    return shape_violations(
+        bad,
+        check="payload_invariants",
+        label="Image",
+        part_col="part",
+        column="bytes",
+        key=F.col("image_id"),
+        detail=F.concat_ws(
+            "; ",
+            F.when(~F.col("decode_ok"), F.lit("decode failed")),
+            F.when(
+                F.col("decode_ok") & (F.col("psnr") < PSNR_THRESHOLD_DB),
+                F.concat(F.lit("psnr_db="), F.round("psnr", 2).cast("string")),
+            ),
+            F.when(~F.col("caption_ok"), F.lit("caption mismatch")),
+        ),
+    )
