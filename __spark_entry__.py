@@ -59,6 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
     value-domain, payload invariants) over a synthesized image table and
     return per-partition verdict rows (sorted for stability)."""
     _ensure_shipped(spark)
+    from pyspark.sql import functions as SF
+
     from neontology_spark.checks import (
         check_domain,
         check_required,
@@ -66,11 +68,31 @@ def entry(spark: SparkSession) -> DataFrame:
         partition_row_counts,
     )
     from neontology_spark.checks.base import CheckResult
+    from neontology_spark.checks.drift import (
+        check_drift,
+        drift_metrics,
+        numeric_histogram,
+    )
     from neontology_spark.images import check_payload, generate_images, image_model
 
-    images = generate_images(spark, n_rows=4_000, n_parts=8).cache()
+    N_PARTS = 8
+    images = generate_images(spark, n_rows=4_000, n_parts=N_PARTS).cache()
     model = image_model()
     counts = partition_row_counts(images, "part")
+
+    # drift: baseline = clean snapshot minus its (intentionally shifted)
+    # last partition; current compared per-partition against it
+    edges = [0.0, 16, 32, 48, 64, 80, 96, 112, 128, 160]
+    baseline = generate_images(
+        spark, n_rows=4_000, n_parts=N_PARTS, plant_violations=False
+    ).filter(SF.col("part") < N_PARTS - 1)
+    drift = check_drift(
+        drift_metrics(
+            numeric_histogram(baseline, "w", edges),
+            numeric_histogram(images, "w", edges, part_col="part"),
+        ),
+        label="Image",
+    )
 
     results = [
         check_unique(images, model, part_col="part"),
@@ -79,6 +101,7 @@ def entry(spark: SparkSession) -> DataFrame:
         check_required(images, model, part_col="part"),
         check_domain(images, model, part_col="part"),
         CheckResult("payload_invariants", "Image", check_payload(images)),
+        drift,
     ]
     verdicts = results[0].verdicts(counts)
     for r in results[1:]:
@@ -344,6 +367,203 @@ SELECT * FROM (
 """
 
 
+# S2/§2.4 — policy-driven upsert kernel (merge_nodes semantics) with a full
+# SQL oracle: merge post-1995 orders (batch) into pre-1995 state (existing),
+# keyed per customer, last-writer-wins by o_orderkey;
+# o_totalprice=always_set, o_orderpriority=set_on_create,
+# o_orderstatus=set_on_match
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.models import MergePolicy
+    from neontology_spark.upsert import merge_keyed
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    existing = orders.filter(F.col("o_orderdate") < cut)
+    batch = orders.filter(F.col("o_orderdate") >= cut)
+    # both sides deduped to one row per customer (latest order wins)
+    from pyspark.sql import Window as W
+
+    def latest(df):
+        w = W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    existing = latest(existing).select(
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    batch = latest(batch).select(
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority", "o_orderkey"
+    )
+    post = merge_keyed(
+        existing,
+        batch.drop("o_orderkey"),
+        keys=["o_custkey"],
+        policies={
+            "o_totalprice": MergePolicy.ALWAYS_SET,
+            "o_orderpriority": MergePolicy.SET_ON_CREATE,
+            "o_orderstatus": MergePolicy.SET_ON_MATCH,
+        },
+    )
+    return post.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    ).orderBy("o_custkey")
+
+
+O_MERGE = """
+WITH existing AS (
+  SELECT o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) rn
+    FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01') WHERE rn = 1
+),
+batch AS (
+  SELECT o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) rn
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01') WHERE rn = 1
+)
+SELECT COALESCE(e.o_custkey, b.o_custkey) AS o_custkey,
+       CASE WHEN e.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+            THEN b.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
+       round(CASE WHEN b.o_custkey IS NOT NULL
+            THEN b.o_totalprice ELSE e.o_totalprice END, 2) AS o_totalprice,
+       CASE WHEN e.o_custkey IS NULL AND b.o_custkey IS NOT NULL
+            THEN b.o_orderpriority ELSE e.o_orderpriority END AS o_orderpriority
+FROM existing e FULL OUTER JOIN batch b ON e.o_custkey = b.o_custkey
+ORDER BY o_custkey
+"""
+
+
+# J5 — bounded multi-hop traversal (get_related, basenode.py:425-528) on a
+# synthetic edge table derived from events; oracle = recursive CTE
+def q_j5_traverse_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.relationships import get_related
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            F.col("user_id").cast("string").alias("source"),
+            ((F.col("user_id") * 7 + 3) % 1000).cast("string").alias("target"),
+        )
+        .dropDuplicates()
+    )
+    start = spark.createDataFrame([("1",), ("2",)], "key string")
+    out = get_related(
+        {"NEXT": edges}, start, rel_types=["NEXT"], min_depth=1, max_depth=3,
+        distinct=True,
+    )
+    return out.select("start", "node").orderBy("start", "node")
+
+
+O_J5_DEPTH = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS source,
+         CAST((user_id * 7 + 3) % 1000 AS VARCHAR) AS target
+  FROM events
+),
+walk AS (
+  SELECT s.start, e.target AS node, 1 AS depth
+  FROM (SELECT '1' AS start UNION ALL SELECT '2') s
+  JOIN edges e ON e.source = s.start
+  UNION ALL
+  SELECT w.start, e.target, w.depth + 1
+  FROM walk w JOIN edges e ON e.source = w.node
+  WHERE w.depth < 3
+)
+SELECT DISTINCT start, node FROM walk ORDER BY start, node
+"""
+
+
+# DRIFT — fixed-edge histogram (width_bucket semantics) per partition
+_Q_EDGES = (0.0, 10.0, 20.0, 30.0, 40.0, 50.0)
+
+
+def q_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.checks.drift import numeric_histogram
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "part_year", F.year("l_shipdate").cast("long")
+    )
+    h = numeric_histogram(li, "l_quantity", list(_Q_EDGES), part_col="part_year")
+    return h.select(
+        F.col("part").alias("part_year"), "bucket", "n"
+    ).orderBy("part_year", "bucket")
+
+
+# width_bucket(x, lo, hi, n): 0 below lo, n+1 at/above hi, else
+# floor((x-lo)/(hi-lo)*n)+1 — replicated with arithmetic for DuckDB
+O_DRIFT_HIST = f"""
+SELECT year(l_shipdate) AS part_year,
+       printf('b%05d', CASE WHEN l_quantity < {_Q_EDGES[0]} THEN 0
+            WHEN l_quantity >= {_Q_EDGES[-1]} THEN {len(_Q_EDGES)}
+            ELSE CAST(floor((l_quantity - {_Q_EDGES[0]}) / ({_Q_EDGES[-1]} - {_Q_EDGES[0]}) * {len(_Q_EDGES) - 1}) AS INT) + 1 END) AS bucket,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# DRIFT — PSI + KS per partition vs a baseline snapshot distribution
+def q_drift_psi_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.checks.drift import drift_metrics, numeric_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    baseline = li.filter(F.year("l_shipdate") == 1995)
+    current = li.withColumn("part_year", F.year("l_shipdate").cast("long"))
+    m = drift_metrics(
+        numeric_histogram(baseline, "l_quantity", list(_Q_EDGES)),
+        numeric_histogram(current, "l_quantity", list(_Q_EDGES), part_col="part_year"),
+    )
+    return m.select(
+        F.col("part").alias("part_year"),
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+    ).orderBy("part_year")
+
+
+O_DRIFT_PSI = f"""
+WITH bucketed AS (
+  SELECT year(l_shipdate) AS part_year,
+         CASE WHEN l_quantity < {_Q_EDGES[0]} THEN 0
+              WHEN l_quantity >= {_Q_EDGES[-1]} THEN {len(_Q_EDGES)}
+              ELSE CAST(floor((l_quantity - {_Q_EDGES[0]}) / ({_Q_EDGES[-1]} - {_Q_EDGES[0]}) * {len(_Q_EDGES) - 1}) AS INT) + 1 END AS bucket
+  FROM lineitem
+),
+base AS (
+  SELECT bucket, count(*)::DOUBLE / (SELECT count(*) FROM bucketed WHERE part_year = 1995) AS p_base
+  FROM bucketed WHERE part_year = 1995 GROUP BY bucket
+),
+cur AS (
+  SELECT part_year, bucket,
+         count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY part_year) AS p_cur
+  FROM bucketed GROUP BY part_year, bucket
+),
+grid AS (
+  SELECT py.part_year, b.bucket, b.p_base FROM (SELECT DISTINCT part_year FROM cur) py CROSS JOIN base b
+),
+joined AS (
+  SELECT COALESCE(g.part_year, c.part_year) AS part_year,
+         COALESCE(g.bucket, c.bucket) AS bucket,
+         COALESCE(c.p_cur, 0.0) AS p_cur,
+         COALESCE(g.p_base, 0.0) AS p_base
+  FROM grid g FULL OUTER JOIN cur c ON g.part_year = c.part_year AND g.bucket = c.bucket
+),
+cdf AS (
+  SELECT part_year,
+         (p_cur - p_base) * ln((p_cur + 1e-6) / (p_base + 1e-6)) AS psi_term,
+         sum(p_cur) OVER (PARTITION BY part_year ORDER BY bucket) AS cdf_cur,
+         sum(p_base) OVER (PARTITION BY part_year ORDER BY bucket) AS cdf_base
+  FROM joined
+)
+SELECT part_year, round(sum(psi_term), 6) AS psi,
+       round(max(abs(cdf_cur - cdf_base)), 6) AS ks
+FROM cdf GROUP BY part_year ORDER BY part_year
+"""
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -368,6 +588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_get_related": _shipped(q_j5_get_related),
         "unique_violations": _shipped(q_unique_violations),
         "a6_column_stats": _shipped(q_a6_column_stats),
+        "drift_histogram": _shipped(q_drift_histogram),
+        "drift_psi_ks": _shipped(q_drift_psi_ks),
+        "merge_upsert": _shipped(q_merge_upsert),
+        "j5_traverse_depth": _shipped(q_j5_traverse_depth),
     }
 
 
@@ -386,4 +610,8 @@ def oracle_sql() -> dict[str, str]:
         "j5_get_related": O_J5,
         "unique_violations": O_UNIQUE,
         "a6_column_stats": O_A6,
+        "drift_histogram": O_DRIFT_HIST,
+        "drift_psi_ks": O_DRIFT_PSI,
+        "merge_upsert": O_MERGE,
+        "j5_traverse_depth": O_J5_DEPTH,
     }

@@ -1,0 +1,166 @@
+"""Benchmark harness — prints ONE JSON line the driver records as
+BENCH_r{N}.json.
+
+Headline workload = the engine's reason to exist: the full constraint-
+validation suite (uniqueness ×2 incl. salted phash, required-null,
+value-domain, payload PSNR/caption invariants, column stats, drift) over a
+parquet-backed synthetic image+caption table sized to the SF, plus the
+SURVEY.md §2 operator queries over the driver testdata tables.
+
+The image table is generated once per (sf, n) into a /tmp cache and
+re-read from parquet so the timing measures VALIDATION throughput, not
+synthesis. `value` = total wall seconds over all headline queries;
+`rows_per_sec` = image-table rows / validation-suite seconds (the
+BASELINE.json throughput metric).
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+BENCH/scaling.py (two sequential SparkSessions); kept out of the default
+bench run so the driver's per-round bench stays fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+N_IMAGES = max(2_000, int(1_000_000 * SF))
+N_PARTS = 16
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/neontology_bench")
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"neontology_bench_{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_images(spark, n_rows: int) -> str:
+    """Generate-or-reuse the parquet-backed image table for this SF."""
+    path = os.path.join(CACHE_DIR, f"images_n{n_rows}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        import __spark_entry__ as entrymod
+
+        entrymod._ensure_shipped(spark)
+        from neontology_spark.images import generate_images
+
+        generate_images(spark, n_rows=n_rows, n_parts=N_PARTS).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def validation_suite(spark, images_path: str):
+    """The headline job: full check suite over the image table; returns
+    (seconds, n_rows). One shared scan-count + each check materialized."""
+    import __spark_entry__ as entrymod
+
+    entrymod._ensure_shipped(spark)
+    from neontology_spark.checks import (
+        check_domain,
+        check_required,
+        check_unique,
+        column_stats,
+        partition_row_counts,
+    )
+    from neontology_spark.checks.base import CheckResult
+    from neontology_spark.images import check_payload, image_model
+
+    images = spark.read.parquet(images_path)
+    model = image_model()
+    t0 = time.time()
+    counts = partition_row_counts(images, "part")
+    results = [
+        check_unique(images, model, part_col="part"),
+        check_unique(
+            images, model, column="phash", part_col="part", salted=True,
+            check_name="unique__phash",
+        ),
+        check_required(images, model, part_col="part"),
+        check_domain(images, model, part_col="part"),
+        CheckResult("payload_invariants", "Image", check_payload(images)),
+    ]
+    verdicts = results[0].verdicts(counts)
+    for r in results[1:]:
+        verdicts = verdicts.unionByName(r.verdicts(counts))
+    n_verdicts = verdicts.count()
+    stats_rows = column_stats(
+        images, columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+        part_col="part",
+    ).count()
+    # drift: per-partition w-histogram vs the global distribution
+    from neontology_spark.checks.drift import drift_metrics, numeric_histogram
+
+    edges = [0.0, 16, 32, 48, 64, 80, 96, 112, 128, 160]
+    global_hist = numeric_histogram(images, "w", edges)
+    part_hist = numeric_histogram(images, "w", edges, part_col="part")
+    drift_rows = drift_metrics(global_hist, part_hist).count()
+    assert drift_rows > 0
+    dt = time.time() - t0
+    n_rows = images.count()
+    assert n_verdicts > 0 and stats_rows > 0
+    return dt, n_rows
+
+
+def main() -> None:
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        images_path = ensure_images(spark, N_IMAGES)
+        # JVM/codegen warmup on a trivial action
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+        timings: dict[str, float] = {}
+
+        t0 = time.time()
+        val_sec, n_rows = validation_suite(spark, images_path)
+        timings["validation_suite"] = round(val_sec, 3)
+
+        import __spark_entry__ as entrymod
+
+        for name, fn in sorted(entrymod.queries().items()):
+            t = time.time()
+            df = fn(spark, SF_DIR)
+            df.count()
+            timings[name] = round(time.time() - t, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline suite wall time",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": SF,
+                    "image_rows": n_rows,
+                    "validation_rows_per_sec": round(n_rows / val_sec, 1),
+                    "cpus": CPUS,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

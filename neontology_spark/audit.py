@@ -1,0 +1,162 @@
+"""Audit table + checkpoint-resume orchestration (north_rule: "resumable
+from checkpoint with per-partition lineage + metrics rows persisted to an
+Iceberg audit table").
+
+The reference has no audit/lineage (its runs are interactive; failures
+raise). At 10^12 rows a validation run is hours long and MUST be
+resumable: every completed table-partition leaves a lineage row; a
+resumed run anti-joins pending partitions against completed lineage and
+processes only the remainder, with partition pruning pushing the pending
+set into the scan.
+
+Storage: parquet directories (append mode) under one audit root —
+``{root}/verdicts``, ``{root}/violations``, ``{root}/metrics``,
+``{root}/lineage``. On a real cluster these are Iceberg tables (atomic
+append snapshots); parquet-append is the sandbox stand-in behind the same
+writer API (SURVEY.md §7 risk register: thin IO seam, same logic).
+
+Crash consistency: verdicts/violations/metrics are written BEFORE the
+lineage marker for their partitions; "completed" is defined solely by
+lineage rows, so a crash mid-write re-processes the partition (idempotent
+— all checks are deterministic reads) rather than losing it.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("part", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("completed_at", T.DoubleType(), False),
+    ]
+)
+
+
+class AuditStore:
+    """Append-only audit store with the four streams. Parquet in-sandbox;
+    the method surface matches what an Iceberg-backed variant needs."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, stream: str) -> str:
+        return os.path.join(self.root, stream)
+
+    def append(self, stream: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._path(stream))
+
+    def read(self, stream: str) -> Optional[DataFrame]:
+        p = self._path(stream)
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    # -- lineage -------------------------------------------------------------
+    def mark_completed(self, run_id: str, label: str, parts: Sequence[int]) -> None:
+        now = time.time()
+        rows = [(run_id, label, int(p), "completed", now) for p in parts]
+        self.append("lineage", self.spark.createDataFrame(rows, LINEAGE_SCHEMA))
+
+    def completed_parts(self, run_id: str, label: str) -> set[int]:
+        lin = self.read("lineage")
+        if lin is None:
+            return set()
+        rows = (
+            lin.filter(
+                (F.col("run_id") == run_id)
+                & (F.col("label") == label)
+                & (F.col("status") == "completed")
+            )
+            .select("part")
+            .distinct()
+            .collect()
+        )
+        return {r["part"] for r in rows}
+
+
+@dataclass
+class ValidationRun:
+    """Checkpoint-resumable validation driver.
+
+    ``checks`` — callables ``(df) -> CheckResult`` (bind the model/config
+    with functools.partial); ``metrics_fn`` — optional ``(df) -> DataFrame``
+    for per-partition stats rows (the metrics stream).
+
+    ``run(resume=True)`` computes pending = all partitions − completed
+    lineage, filters the table to pending partitions (an IN-list predicate
+    that prunes Iceberg/parquet partitions at the scan), executes every
+    check once over the pruned scan, appends verdicts + violations +
+    metrics, then marks lineage. Returns the pending-part verdict rows.
+    """
+
+    spark: SparkSession
+    table: DataFrame
+    label: str
+    part_col: str
+    checks: Sequence[Callable[[DataFrame], "object"]]
+    store: AuditStore
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    metrics_fn: Optional[Callable[[DataFrame], DataFrame]] = None
+
+    def all_parts(self) -> set[int]:
+        return {
+            r["p"]
+            for r in self.table.select(
+                F.col(self.part_col).cast("long").alias("p")
+            )
+            .distinct()
+            .collect()
+        }
+
+    def pending_parts(self, resume: bool = True) -> set[int]:
+        parts = self.all_parts()
+        if not resume:
+            return parts
+        return parts - self.store.completed_parts(self.run_id, self.label)
+
+    def run(self, resume: bool = True) -> DataFrame:
+        from .checks.base import partition_row_counts
+
+        pending = sorted(self.pending_parts(resume))
+        if not pending:
+            from .checks.base import VERDICT_SCHEMA
+
+            return self.spark.createDataFrame([], VERDICT_SCHEMA)
+
+        # partition pruning: IN-list on the partition column reaches the scan
+        scoped = self.table.filter(F.col(self.part_col).isin([int(p) for p in pending]))
+        counts = partition_row_counts(scoped, self.part_col)
+
+        verdicts = None
+        violations = None
+        for check in self.checks:
+            res = check(scoped)
+            v = res.verdicts(counts)
+            verdicts = v if verdicts is None else verdicts.unionByName(v)
+            violations = (
+                res.violations
+                if violations is None
+                else violations.unionByName(res.violations)
+            )
+
+        run_tag = F.lit(self.run_id).alias("run_id")
+        self.store.append("violations", violations.select(run_tag, "*"))
+        self.store.append("verdicts", verdicts.select(run_tag, "*"))
+        if self.metrics_fn is not None:
+            self.store.append("metrics", self.metrics_fn(scoped).select(run_tag, "*"))
+        # lineage LAST: a crash before this line re-runs the partitions
+        self.store.mark_completed(self.run_id, self.label, pending)
+        return verdicts

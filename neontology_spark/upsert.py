@@ -78,12 +78,78 @@ def dedupe_batch(
     )
 
 
-def _last_writer_wins(batch: DataFrame, key: str, order_col: Optional[str]) -> DataFrame:
-    """Collapse duplicate keys within the batch: keep the last row by batch
-    order (pinned semantics for engine-divergent reference behavior)."""
+def merge_keyed(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    policies: dict[str, MergePolicy],
+    order_col: Optional[str] = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """Generic policy-driven MERGE on a composite key — the single upsert
+    kernel behind node merge (key = primary property) and relationship
+    merge (key = (source, target, *merge_on), reference
+    graphengine.py:279-287).
+
+    ======================  ========================================
+    policy                  post-state of column
+    ======================  ========================================
+    ALWAYS_SET              batch value on match AND create
+    SET_ON_CREATE           batch value on create; old value on match
+    SET_ON_MATCH            batch value on match; NULL on create
+    ======================  ========================================
+
+    Maps 1:1 onto Iceberg ``MERGE INTO`` with two WHEN branches; this is
+    the engine-neutral full-outer-join formulation.
+    """
+    keys = list(keys)
+    data_cols = [c for c in existing.columns if c not in keys]
+    if order_col is not None or len(keys) > 0:
+        batch = _last_writer_wins_multi(batch, keys, order_col)
+    b = batch.select(
+        *[F.col(k).alias(f"_b_{k}") for k in keys],
+        *[F.col(c).alias(f"_b_{c}") for c in data_cols if c in batch.columns],
+        F.lit(True).alias("_b_present"),
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+    e = existing.select(
+        *[F.col(k).alias(f"_e_{k}") for k in keys],
+        *[F.col(c).alias(f"_e_{c}") for c in data_cols],
+        F.lit(True).alias("_e_present"),
+    )
+    cond = None
+    for k in keys:
+        c = e[f"_e_{k}"].eqNullSafe(b[f"_b_{k}"])
+        cond = c if cond is None else (cond & c)
+    j = e.join(b, cond, "full_outer")
+
+    is_match = F.col("_e_present").isNotNull() & F.col("_b_present").isNotNull()
+    is_create = F.col("_e_present").isNull() & F.col("_b_present").isNotNull()
+
+    out_cols = [
+        F.coalesce(F.col(f"_e_{k}"), F.col(f"_b_{k}")).alias(k) for k in keys
+    ]
+    for c in data_cols:
+        e_c = F.col(f"_e_{c}")
+        b_c = F.col(f"_b_{c}") if f"_b_{c}" in j.columns else F.lit(None)
+        pol = policies.get(c, MergePolicy.ALWAYS_SET)
+        if pol is MergePolicy.SET_ON_CREATE:
+            expr = F.when(is_create, b_c).otherwise(e_c)
+        elif pol is MergePolicy.SET_ON_MATCH:
+            expr = F.when(is_match, b_c).otherwise(e_c)
+        else:  # ALWAYS_SET
+            expr = F.when(is_match | is_create, b_c).otherwise(e_c)
+        out_cols.append(expr.alias(c))
+    return j.select(*out_cols)
+
+
+def _last_writer_wins_multi(
+    batch: DataFrame, keys: Sequence[str], order_col: Optional[str]
+) -> DataFrame:
     if order_col is None:
-        return batch.dropDuplicates([key])
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        return batch.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
     return (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -99,53 +165,17 @@ def merge_nodes(
     broadcast_batch: bool = False,
 ) -> DataFrame:
     """MERGE ``batch`` into ``existing`` keyed on the model's primary
-    property, applying per-column merge policies:
-
-    ======================  ========================================
-    policy                  post-state of column
-    ======================  ========================================
-    ALWAYS_SET              batch value on match AND create
-    SET_ON_CREATE           batch value on create; old value on match
-    SET_ON_MATCH            batch value on match; NULL on create
-    ======================  ========================================
-
-    (reference semantics fixed by tests/test_basenode.py:1236-1300).
-    Returns the full post-merge table.
-    """
-    key = model.pp_storage
-    data_cols = [c for c in existing.columns if c != key]
-    batch = _last_writer_wins(batch, key, order_col)
-    b = batch.select(
-        F.col(key).alias("_b_key"),
-        *[F.col(c).alias(f"_b_{c}") for c in data_cols if c in batch.columns],
-        F.lit(True).alias("_b_present"),
-    )
-    if broadcast_batch:
-        b = F.broadcast(b)
-    e = existing.select(
-        F.col(key).alias("_e_key"),
-        *[F.col(c).alias(f"_e_{c}") for c in data_cols],
-        F.lit(True).alias("_e_present"),
-    )
-    j = e.join(b, e["_e_key"] == b["_b_key"], "full_outer")
-
-    is_match = F.col("_e_present").isNotNull() & F.col("_b_present").isNotNull()
-    is_create = F.col("_e_present").isNull() & F.col("_b_present").isNotNull()
-
-    out_cols = [F.coalesce(F.col("_e_key"), F.col("_b_key")).alias(key)]
+    property (reference semantics fixed by tests/test_basenode.py:1236-1300).
+    Returns the full post-merge table."""
     policies = {p.storage_name: p.policy for p in model.properties}
-    for c in data_cols:
-        e_c = F.col(f"_e_{c}")
-        b_c = F.col(f"_b_{c}") if f"_b_{c}" in j.columns else F.lit(None)
-        pol = policies.get(c, MergePolicy.ALWAYS_SET)
-        if pol is MergePolicy.SET_ON_CREATE:
-            expr = F.when(is_create, b_c).otherwise(e_c)
-        elif pol is MergePolicy.SET_ON_MATCH:
-            expr = F.when(is_match, b_c).otherwise(e_c)
-        else:  # ALWAYS_SET (MERGE_ON is a rel-only policy; treated as key-ish)
-            expr = F.when(is_match | is_create, b_c).otherwise(e_c)
-        out_cols.append(expr.alias(c))
-    return j.select(*out_cols)
+    return merge_keyed(
+        existing,
+        batch,
+        keys=[model.pp_storage],
+        policies=policies,
+        order_col=order_col,
+        broadcast_batch=broadcast_batch,
+    )
 
 
 def merge_df(

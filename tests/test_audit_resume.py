@@ -1,0 +1,89 @@
+"""Checkpoint-resume tests: a partially-completed run resumes with only
+the pending partitions; completed partitions are never re-processed."""
+
+import functools
+
+import pytest
+from pyspark.sql import functions as F
+
+from neontology_spark.audit import AuditStore, ValidationRun
+from neontology_spark.checks import check_required, check_unique, column_stats
+from neontology_spark.images import NULL_FMT_ROWS, generate_images, image_model
+
+N = 2_000
+N_PARTS = 8
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    images = generate_images(spark, n_rows=N, n_parts=N_PARTS)
+    model = image_model()
+    store = AuditStore(spark, str(tmp_path / "audit"))
+    checks = [
+        functools.partial(check_unique, model=model, part_col="part"),
+        functools.partial(check_required, model=model, part_col="part"),
+    ]
+    run = ValidationRun(
+        spark=spark,
+        table=images,
+        label="Image",
+        part_col="part",
+        checks=checks,
+        store=store,
+        run_id="run_test_1",
+        metrics_fn=lambda df: column_stats(df, columns=["w", "h", "fmt"], part_col="part"),
+    )
+    return images, store, run
+
+
+def test_full_run_then_resume_noop(setup):
+    images, store, run = setup
+    v1 = run.run()
+    assert v1.count() == 2 * N_PARTS  # two checks × 8 parts
+    assert store.completed_parts("run_test_1", "Image") == set(range(N_PARTS))
+    # resumed run: nothing pending
+    v2 = run.run()
+    assert v2.count() == 0
+    # audit streams populated exactly once
+    assert store.read("verdicts").count() == 2 * N_PARTS
+    assert store.read("metrics").count() == 3 * N_PARTS
+    lin = store.read("lineage")
+    assert lin.count() == N_PARTS
+
+
+def test_partial_completion_resumes_only_pending(setup):
+    images, store, run = setup
+    # simulate a crash: partitions 0-4 already completed in lineage
+    store.mark_completed("run_test_1", "Image", [0, 1, 2, 3, 4])
+    assert run.pending_parts() == {5, 6, 7}
+    v = run.run()
+    parts_processed = {r["part"] for r in v.collect()}
+    assert parts_processed == {5, 6, 7}
+    # violations recorded only for pending partitions (null-fmt rows 21..23
+    # live in parts 5,6,7 — exactly the pending set here)
+    vio = store.read("violations")
+    assert {r["part"] for r in vio.collect()} <= {5, 6, 7}
+    got_null_parts = {
+        r["part"] for r in vio.filter(F.col("check") == "required_not_null").collect()
+    }
+    assert got_null_parts == {i % N_PARTS for i in NULL_FMT_ROWS}
+    # now fully complete
+    assert run.pending_parts() == set()
+
+
+def test_resume_false_reprocesses_everything(setup):
+    images, store, run = setup
+    run.run()
+    v = run.run(resume=False)
+    assert {r["part"] for r in v.collect()} == set(range(N_PARTS))
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path, setup):
+    """The pending-partition IN filter must push into the parquet scan."""
+    images, store, run = setup
+    path = str(tmp_path / "img.parquet")
+    images.write.partitionBy("part").parquet(path)
+    stored = spark.read.parquet(path)
+    pruned = stored.filter(F.col("part").isin([5, 6, 7]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan

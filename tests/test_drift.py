@@ -1,0 +1,82 @@
+"""Drift-check tests: the planted shifted partition (images last part has
+w/h scaled 1.5×) must be the ONLY partition flagged."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neontology_spark.checks.drift import (
+    categorical_histogram,
+    check_drift,
+    drift_metrics,
+    numeric_histogram,
+)
+from neontology_spark.images import generate_images
+
+N = 4_000
+N_PARTS = 8
+W_EDGES = [0.0, 16, 32, 48, 64, 80, 96, 112, 128, 160]
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    current = generate_images(spark, n_rows=N, n_parts=N_PARTS).cache()
+    # baseline = clean snapshot WITHOUT the shifted partition's rows:
+    # a clean generation still plants the shift in its last partition, so
+    # build the baseline from the unshifted partitions only
+    baseline = (
+        generate_images(spark, n_rows=N, n_parts=N_PARTS, plant_violations=False)
+        .filter(F.col("part") < N_PARTS - 1)
+        .cache()
+    )
+    current.count(), baseline.count()
+    yield baseline, current
+    current.unpersist(), baseline.unpersist()
+
+
+def test_numeric_drift_flags_only_shifted_partition(spark, tables):
+    baseline, current = tables
+    base_h = numeric_histogram(baseline, "w", W_EDGES)
+    cur_h = numeric_histogram(current, "w", W_EDGES, part_col="part")
+    metrics = drift_metrics(base_h, cur_h)
+    res = check_drift(metrics, label="Image")
+    flagged = {(r["part"], r["column"]) for r in res.violations.collect()}
+    assert flagged == {(N_PARTS - 1, "w")}
+
+
+def test_psi_ks_values_sane(spark, tables):
+    baseline, current = tables
+    base_h = numeric_histogram(baseline, "w", W_EDGES)
+    cur_h = numeric_histogram(current, "w", W_EDGES, part_col="part")
+    rows = {r["part"]: r for r in drift_metrics(base_h, cur_h).collect()}
+    assert len(rows) == N_PARTS
+    for p, r in rows.items():
+        assert r["psi"] >= 0.0 - 1e-9
+        assert 0.0 <= r["ks"] <= 1.0
+        if p < N_PARTS - 1:
+            assert r["psi"] < 0.05, f"clean part {p} drifted: {r}"
+        else:
+            assert r["psi"] > 0.5 and r["ks"] > 0.3
+
+
+def test_categorical_drift_fmt_stable(spark, tables):
+    baseline, current = tables
+    base_h = categorical_histogram(baseline, "fmt")
+    cur_h = categorical_histogram(current, "fmt", part_col="part")
+    metrics = drift_metrics(base_h, cur_h)
+    # fmt is uniform thirds everywhere; the few planted NULL/bmp rows must
+    # not push any partition over the threshold
+    res = check_drift(metrics, label="Image")
+    assert res.violations.count() == 0
+
+
+def test_categorical_drift_detects_shift(spark, tables):
+    baseline, current = tables
+    base_h = categorical_histogram(baseline, "fmt")
+    skewed = current.withColumn(
+        "fmt",
+        F.when(F.col("part") == 0, F.lit("png")).otherwise(F.col("fmt")),
+    )
+    cur_h = categorical_histogram(skewed, "fmt", part_col="part")
+    res = check_drift(drift_metrics(base_h, cur_h), label="Image")
+    flagged = {r["part"] for r in res.violations.collect()}
+    assert flagged == {0}
