@@ -564,6 +564,199 @@ FROM cdf GROUP BY part_year ORDER BY part_year
 """
 
 
+# TEXT — one-pass text profile over documents (token/BPE-ish counts,
+# punct/alpha ratios, portable md5 fingerprint)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark import textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        textops.bpe_ish_count("text").alias("n_bpe_units"),
+        F.round(textops.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(textops.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        textops.fingerprint_md5("text").alias("fp_md5"),
+    ).orderBy("doc_id")
+
+
+O_TEXT_PROFILE = r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_units,
+  round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+# DEDUP — exact duplicate groups (deterministically planted duplicates)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.dedup import exact_duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    union = docs.unionByName(planted)
+    g = exact_duplicate_groups(union)
+    return g.select(
+        "fp_md5", "n_docs", F.array_join(F.transform("doc_ids", lambda d: d.cast("string")), ",").alias("doc_ids")
+    ).orderBy("fp_md5")
+
+
+O_DEDUP_EXACT = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+       count(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM unioned
+GROUP BY 1 HAVING count(*) > 1 ORDER BY fp_md5
+"""
+
+
+# DEDUP — n-gram Jaccard pairs via inverted shingle index
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing words here")).alias("text"),
+    )
+    union = docs.select("doc_id", "text").unionByName(mutated)
+    return jaccard_pairs(
+        union, threshold=0.5, n=3, max_shingle_df=None
+    ).orderBy("id_a", "id_b")
+
+
+O_JACCARD = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extra trailing words here'
+  FROM documents WHERE doc_id < 100
+),
+sh AS (
+  SELECT doc_id AS id,
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+      ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split(
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> x <> '') AS toks FROM unioned)
+),
+sizes AS (SELECT id, len(shingles) AS sh_size FROM sh),
+inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(n_common::DOUBLE / (sa.sh_size + sb.sh_size - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common::DOUBLE / (sa.sh_size + sb.sh_size - n_common) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# SIMILARITY — exact brute-force cosine top-k over embeddings
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries_df, k=5).orderBy("query_id", "rank")
+
+
+O_SIM_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# SIMILARITY — embedding near-dup pairs via hyperplane LSH (planted exact
+# duplicates: identical vectors always share every band ⇒ recall 1.0 at
+# threshold 0.9999, so the exact-search oracle is valid)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    union = emb.unionByName(planted)
+    return embedding_near_duplicates(union, threshold=0.9999).orderBy(
+        "id_a", "id_b"
+    )
+
+
+O_EMB_NEAR_DUP = """
+WITH unioned AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+FROM unioned a JOIN unioned b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9999
+ORDER BY id_a, id_b
+"""
+
+
+# DEDUP — MinHash LSH + SimHash near-dup (probabilistic candidate
+# generation: rows-only driver check; exact unit tests in tests/)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    union = docs.select("doc_id", "text").unionByName(mutated)
+    return minhash_lsh_pairs(union, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    union = docs.select("doc_id", "text").unionByName(mutated)
+    return simhash_pairs(union, max_hamming=3).orderBy("id_a", "id_b")
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -592,6 +785,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_ks": _shipped(q_drift_psi_ks),
         "merge_upsert": _shipped(q_merge_upsert),
         "j5_traverse_depth": _shipped(q_j5_traverse_depth),
+        "text_profile": _shipped(q_text_profile),
+        "dedup_exact": _shipped(q_dedup_exact),
+        "jaccard_pairs": _shipped(q_jaccard_pairs),
+        "sim_topk": _shipped(q_sim_topk),
+        "embedding_near_dup": _shipped(q_embedding_near_dup),
+        "minhash_lsh": _shipped(q_minhash_lsh),
+        "simhash_pairs": _shipped(q_simhash_pairs),
     }
 
 
@@ -614,4 +814,11 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_ks": O_DRIFT_PSI,
         "merge_upsert": O_MERGE,
         "j5_traverse_depth": O_J5_DEPTH,
+        "text_profile": O_TEXT_PROFILE,
+        "dedup_exact": O_DEDUP_EXACT,
+        "jaccard_pairs": O_JACCARD,
+        "sim_topk": O_SIM_TOPK,
+        "embedding_near_dup": O_EMB_NEAR_DUP,
+        # minhash_lsh / simhash_pairs: probabilistic LSH candidate sets are
+        # not SQL-expressible portably (xxhash64) -> rows-only driver check
     }

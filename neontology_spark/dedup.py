@@ -1,0 +1,322 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+No reference analogue (neontology's dedup is the exact within-batch
+fingerprint, replayed in upsert.py); these are the web-scale extensions
+the task brief mandates.
+
+Scale design per operator:
+* exact: md5(normalized) groupBy — map-side combined, one shuffle on the
+  fingerprint. Keep-first uses min(order) per group, not a window over
+  the full table.
+* shingles/Jaccard: explode shingles → inverted index → pair counts.
+  The classic "hot shingle" blowup is bounded by dropping shingles whose
+  document frequency exceeds ``max_shingle_df`` (a stopword-shingle cap):
+  at 10^12 docs a shingle appearing in 10^6 docs would alone generate
+  10^12 candidate pairs. This cap is the single most important knob.
+* MinHash+LSH: k hash functions as xxhash64(seed_i, shingle) — all
+  JVM-side via higher-order array exprs (no UDF); signature banding →
+  explode (band, band_hash) → join within buckets. Probability a pair of
+  true Jaccard s collides in ≥1 of b bands of r rows: 1-(1-s^r)^b.
+* SimHash: per-token 64-bit hashes, bit-vote aggregation via bit
+  arithmetic in array expressions; near-dup = popcount(xor) ≤ k, banded
+  into 4 × 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one exact
+  16-bit chunk match) to avoid the quadratic all-pairs comparison.
+* embedding cosine: see similarity.py (brute-force + LSH-bucketed ANN).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import normalize_text
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fp_md5, n_docs, doc_ids) for normalized-content groups with >1 doc.
+    doc_ids sorted for determinism."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedupe_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id doc per identical normalized content. min-per-group
+    + semi-join (two map-side-combinable aggregations) rather than a
+    row_number window over the entire table — windows sort whole partitions,
+    min() doesn't."""
+    fp = F.md5(normalize_text(text_col)).alias("_fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Array of word n-gram strings (distinct), via pure array exprs."""
+    toks = F.array_remove(F.split(normalize_text(text_col), " "), "")
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.when(
+        k >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = 1000,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold, via the
+    inverted-index pattern: explode → self-join on shingle → count common →
+    |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_shingle_df`` drops shingles present in more than that many docs —
+    the hot-key cap that keeps the candidate-pair count linear-ish at scale.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    sizes = base.select("id", "sh_size")
+    inv = base.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sh_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sh_size").alias("size_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text_col: str, num_hashes: int = 64, n: int = 3):
+    """Array<long> of length num_hashes: min over shingles of
+    xxhash64(seed_i, shingle). All JVM-side (HOF over the shingle array)."""
+    sh = word_shingles(text_col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding: candidate pairs = docs sharing at
+    least one band bucket; candidates verified with the *signature-estimate*
+    Jaccard (fraction of matching minhashes) ≥ threshold.
+
+    b=16, r=4 ⇒ collision prob at s=0.6 is 1-(1-0.6^4)^16 ≈ 0.90;
+    at s=0.9 ≈ 1.0; at s=0.3 ≈ 0.12 (cheap to verify away).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, n).alias("sig"),
+    )
+    # lineage cut: the signature is expensive (num_hashes × shingles);
+    # compute once, reuse for banding and verification
+    sig = sig.persist()
+
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(text_col: str):
+    """64-bit SimHash as a long: per-token xxhash64, per-bit majority vote.
+    Pure array/bit expressions — the per-bit vote is a HOF aggregate over
+    the token-hash array (64 aggregate exprs, all codegen'd)."""
+    toks = F.array_distinct(F.array_remove(F.split(normalize_text(text_col), " "), ""))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def bit_expr(b: int):
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)
+        )
+        return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long")
+
+    expr = bit_expr(0)
+    for b in range(1, SIMHASH_BITS - 1):  # bit 63 excluded: keep sign positive
+        expr = expr + bit_expr(b)
+    return expr
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+    Banding (pigeonhole): split the 64-bit hash into max_hamming+1 chunks —
+    any pair within the hamming bound must agree exactly on ≥1 chunk, so
+    candidates = equi-join per chunk, never an all-pairs product. Larger
+    max_hamming ⇒ narrower chunks ⇒ looser buckets ⇒ more candidates to
+    verify: the standard recall/cost dial."""
+    n_chunks = max_hamming + 1
+    width = SIMHASH_BITS // n_chunks
+    if width < 4:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks of <4 bits; "
+            "buckets would be useless — use MinHash/Jaccard for loose matching"
+        )
+    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh")).persist()
+
+    def chunk_val(c: int):
+        # last chunk absorbs the remainder bits
+        w = width if c < n_chunks - 1 else SIMHASH_BITS - width * (n_chunks - 1)
+        mask = (1 << w) - 1
+        return F.shiftright(F.col("sh"), c * width).bitwiseAND(F.lit(mask))
+
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("val"))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming)
+    return out.select("id_a", "id_b", "hamming")

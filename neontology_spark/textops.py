@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, language-ID heuristic, quality scoring, document
+fingerprinting. All pure JVM-side Column expressions (whole-stage
+codegen'd) — no Python in the hot path.
+
+These extend the reference's surface (it has no text ops) per the task
+brief; they operate on the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+
+Scale notes: every function here is a projection — no shuffle, no UDF;
+cost is the scan. Fingerprints use md5 (portable across engines for
+oracle checks) and xxhash64 (faster, for internal joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets for the n-gram/stopword-ratio
+# language heuristic. Deliberately tiny: the heuristic's quality is not the
+# point — its *shape* (array intersections over split tokens, one scan,
+# no UDF) is what must scale.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "una", "un", "en", "que", "por"],
+}
+
+
+def tokens(col: str) -> Column:
+    """Whitespace tokens with empties removed (matches DuckDB
+    ``list_filter(regexp_split_to_array(trim(x),'\\s+'), ...)``)."""
+    return F.array_remove(F.split(F.trim(F.col(col)), r"\s+"), "")
+
+
+def token_count(col: str) -> Column:
+    return F.size(tokens(col))
+
+
+# BPE-ish sub-word unit count: word-boundary pieces + digits + punctuation
+# runs, the standard cheap proxy for tokenizer cost before a real BPE pass.
+_BPE_PATTERN = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_count(col: str) -> Column:
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(_BPE_PATTERN), 0))
+
+
+def stopword_ratio(col: str, lang: str = "en") -> Column:
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_scores(col: str) -> Column:
+    """Struct of per-language stopword-hit ratios."""
+    return F.struct(
+        *[stopword_ratio(col, lang).alias(lang) for lang in sorted(STOPWORDS)]
+    )
+
+
+def detect_language(col: str, min_score: float = 0.05) -> Column:
+    """argmax over language scores; 'und' (undetermined) below min_score.
+    Expressed as a sorted array of (score, lang) structs — no UDF."""
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_ratio(col, lang).alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(F.lit("und"))
+
+
+def punct_ratio(col: str) -> Column:
+    n_punct = F.length(
+        F.regexp_replace(F.col(col), r"[A-Za-z0-9\s]", "")
+    )
+    return n_punct / F.greatest(F.length(F.col(col)), F.lit(1))
+
+
+def alpha_ratio(col: str) -> Column:
+    n_alpha = F.length(F.regexp_replace(F.col(col), r"[^A-Za-z]", ""))
+    return n_alpha / F.greatest(F.length(F.col(col)), F.lit(1))
+
+
+def mean_word_length(col: str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    plausible word length + stopword presence. Mirrors the usual C4/Gopher
+    style filters' *shape*; weights are illustrative."""
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.4)
+    wl = mean_word_length(col)
+    wl_ok = F.when((wl >= 2.5) & (wl <= 12.0), 1.0).otherwise(0.5)
+    sw_ok = F.when(stopword_ratio(col) > 0.02, 1.0).otherwise(0.6)
+    return (0.3 * len_ok + 0.25 * punct_ok + 0.25 * wl_ok + 0.2 * sw_ok).cast(
+        "double"
+    )
+
+
+def normalize_text(col: str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def fingerprint_md5(col: str) -> Column:
+    """Portable content fingerprint (md5 matches DuckDB's md5())."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_xxh(col: str) -> Column:
+    """Fast 64-bit content fingerprint for internal joins."""
+    return F.xxhash64(normalize_text(col))
+
+
+def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: all metrics as added columns (single
+    projection over the scan)."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_count(text_col).alias("n_bpe_units"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(alpha_ratio(text_col), 6).alias("alpha_ratio"),
+        F.round(mean_word_length(text_col), 6).alias("mean_word_len"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio_en"),
+        detect_language(text_col).alias("lang_detected"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        fingerprint_md5(text_col).alias("fp_md5"),
+    )

@@ -1,0 +1,134 @@
+"""Dedup + similarity operator tests: planted duplicates/near-duplicates
+with hand-checkable expectations, plus LSH-vs-brute-force recall."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from neontology_spark.dedup import (
+    dedupe_exact,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from neontology_spark.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the quiet green hills of the old valley"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text="  " + BASE.upper() + "  "),  # exact dup after normalize
+        Row(doc_id=3, text=BASE.replace("lazy", "sleepy")),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines and "
+                           "distributed query processing at large scale"),
+        Row(doc_id=5, text=BASE.replace("fox", "cat").replace("dog", "bird")),  # near dup
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_dedupe_exact_keeps_lowest_id(docs):
+    kept = sorted(r["doc_id"] for r in dedupe_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert (1, 5) in pairs
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    # every doc shares the hot shingle; cap excludes it from the index
+    rows = [Row(doc_id=i, text=f"common shared prefix unique{i} tail{i} word{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows)
+    with_cap = jaccard_pairs(df, threshold=0.01, max_shingle_df=5)
+    # 'common shared prefix' appears in all 10 docs -> dropped by cap;
+    # remaining shingles are unique per doc -> no pairs at all
+    assert with_cap.count() == 0
+    without_cap = jaccard_pairs(df, threshold=0.01, max_shingle_df=None)
+    assert without_cap.count() == 45  # all C(10,2) pairs share the hot shingle
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0  # identical normalized text -> same simhash
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+    assert not any(4 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.limit(3)
+    out = brute_force_topk(vectors, queries, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 3
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        cos = [r["cos"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.000001 <= c <= 1.000001 for c in cos)
+
+
+def test_lsh_topk_recall_vs_exact(spark, vectors):
+    queries = vectors.limit(5)
+    exact = brute_force_topk(vectors, queries, k=5)
+    approx = lsh_topk(vectors, queries, k=5, num_planes=16, bands=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # bands=8, r=2: generous buckets; recall should be decent on 500 vecs
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_duplicates_planted(spark, vectors):
+    # plant an exact duplicate vector pair
+    dup = vectors.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    df = vectors.unionByName(dup)
+    pairs = embedding_near_duplicates(df, threshold=0.9999).collect()
+    assert any(
+        r["id_b"] - r["id_a"] == 1_000_000 and r["cos"] >= 0.9999 for r in pairs
+    )

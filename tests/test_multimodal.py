@@ -1,0 +1,104 @@
+"""Multimodal plumbing tests: schema/batch shapes are real even where the
+codec is a deterministic fake (per task brief)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from neontology_spark.images import generate_images
+from neontology_spark.multimodal import (
+    audio_features,
+    decode_video,
+    encode_video,
+    generate_videos,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = generate_images(spark, n_rows=200, n_parts=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_image_features(images):
+    feats = image_features(images)
+    rows = feats.collect()
+    assert len(rows) == 200
+    ok = [r for r in rows if r["decode_ok"]]
+    assert len(ok) == 200  # all blobs structurally valid
+    for r in ok[:20]:
+        assert 0 <= r["mean_luma"] <= 255
+        assert r["w"] >= 32 and r["h"] >= 32
+        assert 0.0 <= r["edge_density"] <= 1.0
+        # uniform-random pixels: mean near 127, high edge density
+        assert 90 < r["mean_luma"] < 165
+        assert r["edge_density"] > 0.5
+
+
+def test_image_features_bad_blob(spark):
+    df = spark.createDataFrame(
+        [Row(image_id="x1", bytes=b"not an image")],
+        "image_id string, bytes binary",
+    )
+    r = image_features(df).collect()[0]
+    assert r["decode_ok"] is False
+
+
+def test_resize(images):
+    out = resize_images(images, 16, 16)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["w"] == 16 and r["h"] == 16 for r in rows)
+    # round-trip: resized payload decodes to 16x16
+    from neontology_spark.images import _decode
+
+    px = _decode(rows[0]["bytes"])
+    assert px is not None and px.shape == (16, 16)
+
+
+def test_video_roundtrip_and_frame_sampling(spark):
+    vids = generate_videos(spark, n_videos=10, n_frames=12)
+    assert vids.count() == 10
+    frames = sample_frames(vids, every_k=4)
+    rows = frames.collect()
+    # 12 frames, every 4th -> indices 0,4,8 per video
+    assert len(rows) == 30
+    assert sorted({r["frame_idx"] for r in rows}) == [0, 4, 8]
+    from neontology_spark.images import _decode
+
+    px = _decode(rows[0]["bytes"])
+    assert px is not None and px.shape == (24, 32)
+
+
+def test_video_codec_pure():
+    frames = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    assert np.array_equal(decode_video(encode_video(frames)), frames)
+    assert decode_video(b"garbage") is None
+
+
+def test_audio_stub_degrades(spark):
+    df = spark.createDataFrame(
+        [Row(audio_id="a1", bytes=b"RIFF....")], "audio_id string, bytes binary"
+    )
+    r = audio_features(df).collect()[0]
+    assert r["decode_ok"] is False  # stubbed decode -> degraded row, no crash
+
+
+def test_feature_kernel_prunes_payload_inputs(images, spark, tmp_path_factory):
+    """Only (id, bytes) cross the Arrow boundary: the kernel input schema
+    must not include w/h/fmt/caption/phash."""
+    path = str(tmp_path_factory.mktemp("mm") / "img.parquet")
+    images.write.parquet(path)
+    stored = spark.read.parquet(path)
+    feats = image_features(stored)
+    import re
+
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    assert schemas and all("caption" not in s and "phash" not in s for s in schemas)

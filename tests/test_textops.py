@@ -1,0 +1,91 @@
+"""Text-analysis operator tests with hand-computed goldens."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from neontology_spark import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="The cat and the dog sat in the garden, and it was warm."),
+        Row(doc_id=2, text="Der Hund und die Katze sind nicht in der Küche."),
+        Row(doc_id=3, text="!!! ??? ,,, ..."),
+        Row(doc_id=4, text="   "),
+        Row(doc_id=5, text="word"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def vals(df, expr, alias="v"):
+    return {
+        r["doc_id"]: r[alias]
+        for r in df.select("doc_id", expr.alias(alias)).collect()
+    }
+
+
+def test_token_count(docs):
+    v = vals(docs, textops.token_count("text"))
+    assert v[1] == 13
+    assert v[3] == 4
+    assert v[4] == 0  # whitespace-only
+    assert v[5] == 1
+
+
+def test_bpe_ish_count(docs):
+    v = vals(docs, textops.bpe_ish_count("text"))
+    assert v[5] == 1  # "word" = one ≤4-char piece
+    assert v[3] == 12  # each punct char its own unit (3×4 chars)
+    assert v[4] == 0
+
+
+def test_stopword_ratio_and_language(docs):
+    v = vals(docs, textops.detect_language("text"))
+    assert v[1] == "en"
+    assert v[2] == "de"
+    assert v[3] == "und"  # no stopword hits → undetermined
+    assert v[4] == "und"
+
+
+def test_punct_alpha_ratios(docs):
+    p = vals(docs, textops.punct_ratio("text"))
+    a = vals(docs, textops.alpha_ratio("text"))
+    assert p[5] == 0.0 and a[5] == 1.0
+    assert p[3] > 0.6 and a[3] == 0.0
+    assert 0.0 < p[1] < 0.1
+
+
+def test_quality_score_orders_sensibly(docs):
+    q = vals(docs, textops.quality_score("text"))
+    assert q[1] > q[3]  # prose beats punctuation soup
+    assert q[1] > q[4]
+    assert all(0.0 <= x <= 1.0 for x in q.values())
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello   World"), Row(doc_id=2, text="  hello world  ")]
+    )
+    fps = vals(df, textops.fingerprint_md5("text"))
+    assert fps[1] == fps[2]  # case/whitespace-insensitive
+    xx = vals(df, textops.fingerprint_xxh("text"))
+    assert xx[1] == xx[2]
+
+
+def test_profile_one_pass(docs):
+    prof = textops.profile_documents(docs)
+    cols = set(prof.columns)
+    assert {
+        "n_tokens", "n_bpe_units", "punct_ratio", "alpha_ratio",
+        "mean_word_len", "stopword_ratio_en", "lang_detected", "quality", "fp_md5",
+    } <= cols
+    assert prof.count() == 5
+
+
+def test_runs_on_driver_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = textops.profile_documents(docs)
+    n = prof.filter(F.col("n_tokens") > 0).count()
+    assert n > 0
