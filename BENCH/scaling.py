@@ -30,6 +30,10 @@ import bench  # noqa: E402  (repo-root bench.py provides the job + session)
 
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
 LEVELS = (8, 32)
+# scaling evidence needs a compute-bound job: at <~1s wall, scheduling
+# overhead dominates and 4× the cores measures nothing. 400k images keeps
+# local[8] around tens of seconds (payload decode bound).
+N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(400_000, bench.N_IMAGES))))
 
 
 def measure(cpus: int, images_path: str) -> tuple[float, int]:
@@ -51,7 +55,7 @@ def main() -> None:
     spark = bench.build_session(LEVELS[0])
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        images_path = bench.ensure_images(spark, bench.N_IMAGES)
+        images_path = bench.ensure_images(spark, N_SCALING)
     finally:
         spark.stop()
 
@@ -66,7 +70,7 @@ def main() -> None:
         "metric": "scaling efficiency (local[8] -> local[32])",
         "value": round(efficiency, 3),
         "unit": "efficiency",
-        "sf": bench.SF,
+        "sf": bench.SF, "n_scaling": N_SCALING,
         "image_rows": n_rows,
         "t_sec_8": round(t_lo, 3),
         "t_sec_32": round(t_hi, 3),

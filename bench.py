@@ -49,6 +49,11 @@ def build_session(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # the payload check is CPU-heavy per byte (decode + PSNR): split the
+        # scan finer than the 128MB default so input tasks ≳ cores even at
+        # small SF — at 100TB splits are plentiful, this only matters here
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .getOrCreate()
     )
 
@@ -85,6 +90,8 @@ def validation_suite(spark, images_path: str):
     from neontology_spark.checks.base import CheckResult
     from neontology_spark.images import check_payload, image_model
 
+    from pyspark.sql import functions as F
+
     images = spark.read.parquet(images_path)
     model = image_model()
     t0 = time.time()
@@ -115,8 +122,10 @@ def validation_suite(spark, images_path: str):
     part_hist = numeric_histogram(images, "w", edges, part_col="part")
     drift_rows = drift_metrics(global_hist, part_hist).count()
     assert drift_rows > 0
+    # row count from the (part-column-pruned) counts aggregate, not a
+    # second full-table action
+    n_rows = counts.agg(F.sum("n_rows").alias("n")).collect()[0]["n"]
     dt = time.time() - t0
-    n_rows = images.count()
     assert n_verdicts > 0 and stats_rows > 0
     return dt, n_rows
 
