@@ -33,22 +33,32 @@ LEVELS = (8, 32)
 # scaling evidence needs a compute-bound job: at <~1s wall, scheduling
 # overhead dominates and 4× the cores measures nothing. 400k images keeps
 # local[8] around tens of seconds (payload decode bound).
-N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(400_000, bench.N_IMAGES))))
+N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(1_000_000, bench.N_IMAGES))))
 
 
 def measure(cpus: int, images_path: str) -> tuple[float, int]:
-    spark = bench.build_session(cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+    """One parallelism level, with CPU AFFINITY pinned to `cpus` cores: in
+    local mode the JVM task threads AND the Python UDF workers both burn
+    cores, so an unpinned local[8] quietly uses up to 16 — inflating the
+    small level and faking poor scaling. Pinning is the honest analogue of
+    an N-core executor allocation. (Children — JVM, python workers —
+    inherit the affinity mask.)"""
+    os.sched_setaffinity(0, set(range(cpus)))
     try:
-        bench.validation_suite(spark, images_path)  # warmup
-        best = float("inf")
-        n_rows = 0
-        for _ in range(RUNS):
-            dt, n_rows = bench.validation_suite(spark, images_path)
-            best = min(best, dt)
-        return best, n_rows
+        spark = bench.build_session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            bench.validation_suite(spark, images_path)  # warmup
+            best = float("inf")
+            n_rows = 0
+            for _ in range(RUNS):
+                dt, n_rows = bench.validation_suite(spark, images_path)
+                best = min(best, dt)
+            return best, n_rows
+        finally:
+            spark.stop()
     finally:
-        spark.stop()
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
 
 
 def main() -> None:

@@ -564,6 +564,66 @@ FROM cdf GROUP BY part_year ORDER BY part_year
 """
 
 
+# S1 — CREATE append semantics: duplicates allowed, detected by the
+# uniqueness check afterwards (tests/test_basenode.py:113-141)
+def q_s1_create_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.nodes import create_nodes
+    from neontology_spark.checks import duplicate_keys
+
+    cust = _t(spark, sf_dir, "customer")
+    batch = cust.filter(F.col("c_nationkey") == 5)
+    post = create_nodes(cust, batch)
+    dups = duplicate_keys(post, "c_custkey")
+    return dups.agg(
+        F.count(F.lit(1)).alias("n_dup_keys"),
+        F.max("dup_count").alias("max_dup"),
+    )
+
+
+O_S1 = """
+SELECT count(*) AS n_dup_keys, max(c) AS max_dup FROM (
+  SELECT c_custkey, count(*) AS c FROM (
+    SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_nationkey = 5
+  ) GROUP BY c_custkey HAVING count(*) > 1
+)
+"""
+
+
+# S3 — DETACH DELETE: remove nodes + cascade edges (graphengine.py:236-253)
+def q_s3_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.models import NodeModel, Property, RelationshipModel
+    from neontology_spark.nodes import delete_nodes
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "source"
+    ).withColumn("target", F.col("o_orderkey").cast("string"))
+    model = NodeModel(
+        label="CustomerT",
+        primary_property="c_custkey",
+        properties=[Property("c_custkey", int)],
+    )
+    rmodel = RelationshipModel(
+        rel_type="PLACED", source_label="CustomerT", target_label="OrderT"
+    )
+    kill = [r["c_custkey"] for r in cust.filter(F.col("c_nationkey") == 5).select("c_custkey").collect()]
+    post_nodes, post_edges = delete_nodes(
+        cust, model, kill, edge_tables={"PLACED": (orders, rmodel)}
+    )
+    return post_nodes.agg(F.count(F.lit(1)).alias("n_customers")).crossJoin(
+        post_edges["PLACED"].agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+O_S3 = """
+SELECT
+  (SELECT count(*) FROM customer WHERE c_nationkey <> 5) AS n_customers,
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+  ) AS n_orders
+"""
+
+
 # TEXT — one-pass text profile over documents (token/BPE-ish counts,
 # punct/alpha ratios, portable md5 fingerprint)
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_ks": _shipped(q_drift_psi_ks),
         "merge_upsert": _shipped(q_merge_upsert),
         "j5_traverse_depth": _shipped(q_j5_traverse_depth),
+        "s1_create_append": _shipped(q_s1_create_append),
+        "s3_detach_delete": _shipped(q_s3_detach_delete),
         "text_profile": _shipped(q_text_profile),
         "dedup_exact": _shipped(q_dedup_exact),
         "jaccard_pairs": _shipped(q_jaccard_pairs),
@@ -814,6 +876,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_ks": O_DRIFT_PSI,
         "merge_upsert": O_MERGE,
         "j5_traverse_depth": O_J5_DEPTH,
+        "s1_create_append": O_S1,
+        "s3_detach_delete": O_S3,
         "text_profile": O_TEXT_PROFILE,
         "dedup_exact": O_DEDUP_EXACT,
         "jaccard_pairs": O_JACCARD,

@@ -109,7 +109,15 @@ def validation_suite(spark, images_path: str):
     verdicts = results[0].verdicts(counts)
     for r in results[1:]:
         verdicts = verdicts.unionByName(r.verdicts(counts))
-    n_verdicts = verdicts.count()
+    # IMPORTANT: aggregate over n_violations, not count(): counting rows of
+    # a left-outer join whose right side is distinct on the join key lets
+    # Catalyst ELIMINATE the join — the checks would never execute.
+    summary = verdicts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_violations").alias("viol"),
+    ).collect()[0]
+    n_verdicts = summary["n"]
+    assert summary["viol"] is not None
     stats_rows = column_stats(
         images, columns=["image_id", "w", "h", "fmt", "caption", "phash"],
         part_col="part",

@@ -1,0 +1,130 @@
+"""Node-table operations: create (append), match, delete with DETACH
+cascade — S1/S3/F1/F3/F4 (reference ``graphengine.py:172-253, 348-448``).
+
+* ``create_nodes`` — plain append, duplicates allowed: the reference's
+  CREATE always appends even on duplicate pp (test
+  ``tests/test_basenode.py:113-141``); duplicate detection is the
+  uniqueness *check*, not a write-time constraint.
+* ``delete_nodes`` — ``DETACH DELETE`` parity: remove rows whose pp is in
+  the kill set AND remove edges referencing them from every edge table
+  (``graphengine.py:236-253``). Set-oriented: anti-joins, no per-row ops.
+* ``match_nodes`` / ``match_relationships`` — filtered paged reads; the
+  relationship variant re-hydrates both endpoints (reference returns
+  (source node, rel, target node) triples, ``graphengine.py:403-448``).
+
+Scale: deletes against Iceberg become ``DELETE FROM … WHERE pp IN (…)``
+(positional/equality deletes); the anti-join formulation here is the
+engine-neutral equivalent with identical semantics. The kill set is
+broadcast — delete batches are small relative to the table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .filters import compile_filters
+from .models import NodeModel, RelationshipModel
+
+
+def create_nodes(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """CREATE semantics: append, duplicate primary properties allowed
+    (graphengine.py:172-201). With a real table this is
+    ``df.writeTo(t).append()``; engine-neutral: union."""
+    return existing.unionByName(batch.select(*existing.columns))
+
+
+def delete_nodes(
+    table: DataFrame,
+    model: NodeModel,
+    pp_values: Sequence,
+    edge_tables: Optional[dict[str, tuple[DataFrame, RelationshipModel]]] = None,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """DETACH DELETE: returns (post_nodes, {rel_type: post_edges}).
+    Edges are cascaded for edge tables whose source or target label is this
+    model's label (graphengine.py:236-253 DETACH semantics)."""
+    pp = model.pp_storage
+    kill = F.broadcast(
+        table.sparkSession.createDataFrame(
+            [(v,) for v in pp_values], f"{pp} {table.schema[pp].dataType.simpleString()}"
+        )
+    )
+    post_nodes = table.join(kill, pp, "left_anti")
+    post_edges: dict[str, DataFrame] = {}
+    for rtype, (edges, rmodel) in (edge_tables or {}).items():
+        out = edges
+        if rmodel.source_label == model.label:
+            out = out.join(
+                kill.withColumnRenamed(pp, rmodel.source_column),
+                rmodel.source_column,
+                "left_anti",
+            )
+        if rmodel.target_label == model.label:
+            out = out.join(
+                kill.withColumnRenamed(pp, rmodel.target_column),
+                rmodel.target_column,
+                "left_anti",
+            )
+        post_edges[rtype] = out
+    return post_nodes, post_edges
+
+
+def match_nodes(
+    table: DataFrame,
+    model: NodeModel,
+    filters: Optional[dict] = None,
+    order_by: Optional[str] = None,
+    limit: Optional[int] = None,
+    skip: Optional[int] = None,
+) -> DataFrame:
+    """F3: filtered, paged node read. Deterministic paging requires
+    ``order_by`` (reference order is engine-dependent; its tests only
+    assert page disjointness — we default to pp order for determinism)."""
+    pred = compile_filters(filters, model.rename_map())
+    out = table if pred is None else table.filter(pred)
+    out = out.orderBy(order_by or model.pp_storage)
+    if skip:
+        out = out.offset(int(skip))
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out
+
+
+def match_relationships(
+    edges: DataFrame,
+    rmodel: RelationshipModel,
+    source_table: DataFrame,
+    target_table: DataFrame,
+    source_model: NodeModel,
+    target_model: NodeModel,
+    limit: Optional[int] = None,
+    skip: Optional[int] = None,
+) -> DataFrame:
+    """F4: (source node, rel, target node) triples — edge table joined to
+    both endpoint tables on their primary properties, endpoint columns
+    prefixed ``source_``/``target_`` (hydration parity with
+    graphengine.py:403-448; rels whose endpoints are missing drop, the
+    J6 'rel needs endpoints' rule)."""
+    src = source_table.select(
+        [F.col(c).alias(f"source_{c}") for c in source_table.columns]
+    )
+    tgt = target_table.select(
+        [F.col(c).alias(f"target_{c}") for c in target_table.columns]
+    )
+    out = edges.join(
+        src,
+        edges[rmodel.source_column] == src[f"source_{source_model.pp_storage}"],
+        "inner",
+    ).join(
+        tgt,
+        edges[rmodel.target_column] == tgt[f"target_{target_model.pp_storage}"],
+        "inner",
+    )
+    out = out.orderBy(rmodel.source_column, rmodel.target_column)
+    if skip:
+        out = out.offset(int(skip))
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out

@@ -1,0 +1,87 @@
+"""Structured Streaming incremental validation tests (memory-sink /
+processAllAvailable pattern for synchronous micro-batch drains)."""
+
+import functools
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from neontology_spark.audit import AuditStore
+from neontology_spark.checks import check_required, check_unique
+from neontology_spark.images import generate_images, image_model
+from neontology_spark.streaming import incremental_validate, windowed_event_counts
+
+
+def test_incremental_validate(spark, tmp_path):
+    images = generate_images(spark, n_rows=1_000, n_parts=4)
+    inp = str(tmp_path / "incoming")
+    # two "arrivals"
+    images.filter(F.col("part") < 2).write.mode("append").parquet(inp)
+    images.filter(F.col("part") >= 2).write.mode("append").parquet(inp)
+
+    model = image_model()
+    store = AuditStore(spark, str(tmp_path / "audit"))
+    q = incremental_validate(
+        spark,
+        inp,
+        schema=spark.read.parquet(inp).schema,
+        checks=[
+            functools.partial(check_unique, model=model, part_col="part"),
+            functools.partial(check_required, model=model, part_col="part"),
+        ],
+        store=store,
+        run_id="stream1",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    verdicts = store.read("verdicts")
+    assert verdicts is not None
+    assert {"run_id", "epoch", "part", "check", "passed"} <= set(verdicts.columns)
+    # all 4 parts validated across the epochs, both checks
+    assert (
+        verdicts.select("part", "check").distinct().count() == 8
+    )
+    vio = store.read("violations")
+    # planted NULL fmt rows (21,22,23) live in parts 1,2,3 of 4
+    assert vio.filter(F.col("check") == "required_not_null").count() == 3
+
+
+def test_windowed_event_counts_batch_parity(spark, sf_dir):
+    """The windowed aggregation is testable on a batch frame (same plan)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(events, window="1 hour", watermark="2 hours")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["window_end"] > r["window_start"] for r in rows)
+    total = sum(r["n"] for r in rows)
+    assert total == events.filter(F.col("ts").isNotNull()).count()
+
+
+def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
+    """Same aggregation through an actual streaming query (memory sink)."""
+    # streaming file source needs a directory
+    src_dir = str(tmp_path / "events_dir")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch.write.parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n = spark.sql("SELECT count(*) AS n FROM win_counts").collect()[0]["n"]
+    # append mode emits only watermark-closed windows; at least most close
+    assert n > 0
