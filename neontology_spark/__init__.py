@@ -21,6 +21,23 @@ from .models import (
     resolve_type,
 )
 
+from . import (  # noqa: F401  (public module surface)
+    audit,
+    checks,
+    dedup,
+    filters,
+    images,
+    models,
+    multimodal,
+    nodes,
+    relationships,
+    similarity,
+    streaming,
+    textops,
+    tools,
+    upsert,
+)
+
 __version__ = "0.1.0"
 
 __all__ = [

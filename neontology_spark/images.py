@@ -245,23 +245,31 @@ def payload_check_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = len(pdf)
         psnr = np.full(n, np.nan)
         ok = np.zeros(n, dtype=bool)
+        # vectorized row-identity extraction (per-row python here costs
+        # more than the pixel math at 10^6+ rows)
+        row_ids = (
+            pdf["image_id"].str.rsplit("_", n=1).str[-1].astype(np.int64)
+        )
+        blobs = pdf["bytes"].to_numpy()
         for k in range(n):
-            px = _decode(pdf["bytes"].iloc[k])
+            px = _decode(blobs[k])
             if px is None:
                 continue
             ok[k] = True
             # reference pixels keyed by the *row identity* encoded in
             # image_id (deterministic stand-in for a golden decode)
-            i = int(pdf["image_id"].iloc[k].rsplit("_", 1)[1])
-            ref = _pixels(i, px.shape[1], px.shape[0])
+            ref = _pixels(int(row_ids[k]), px.shape[1], px.shape[0])
             if ref.shape != px.shape:
                 ok[k] = False
                 continue
-            mse = np.mean((ref.astype(np.float64) - px.astype(np.float64)) ** 2)
+            # integer MSE: int16 diff + int32 square keeps memory traffic
+            # ~5x below the float64 formulation (the PSNR stage is memory-
+            # bandwidth-bound at high core counts, measured in BENCH)
+            diff = px.astype(np.int16)
+            diff -= ref
+            mse = float(np.square(diff, dtype=np.int32).mean())
             psnr[k] = np.inf if mse == 0 else 20 * np.log10(255.0) - 10 * np.log10(mse)
-        golden = pdf["image_id"].map(
-            lambda s: golden_caption(int(s.rsplit("_", 1)[1]))
-        )
+        golden = "a synthetic image number " + row_ids.astype(str)
         cap_ok = (pdf["caption"] == golden).fillna(False).to_numpy()
         yield pd.DataFrame(
             {
