@@ -282,16 +282,90 @@ def payload_check_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def check_payload(images: DataFrame) -> DataFrame:
+def payload_check_arrow(it):
+    """mapInArrow kernel — the fast path. Operates on Arrow RecordBatches
+    with ZERO pandas conversion: the binary column is read in place from
+    the Arrow (offsets, data) buffers as numpy views (no per-row python
+    ``bytes`` objects — materializing 10^6+ of those dominates the pandas
+    path), image ids are parsed with fixed-width Arrow compute slicing,
+    and captions are compared vectorized. Only the per-image pixel loop
+    remains python, operating on buffer views.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    hdr = len(MAGIC) + 8  # magic + packed w,h
+    for batch in it:
+        cols = {batch.schema.names[i]: batch.column(i) for i in range(batch.num_columns)}
+        blob = cols["bytes"].combine_chunks() if isinstance(cols["bytes"], pa.ChunkedArray) else cols["bytes"]
+        n = len(blob)
+        # Arrow binary layout: offsets int32/int64 + one contiguous data buf
+        validity, off_buf, data_buf = blob.buffers()
+        off_dtype = np.int64 if pa.types.is_large_binary(blob.type) else np.int32
+        offs = np.frombuffer(off_buf, dtype=off_dtype, count=n + 1, offset=blob.offset * off_dtype().itemsize)
+        data = np.frombuffer(data_buf, dtype=np.uint8)
+
+        # image ids: fixed-format "img_%012d" → numeric tail, in C
+        ids_arr = cols["image_id"]
+        ids = pc.utf8_slice_codeunits(ids_arr, 4).cast(pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+
+        psnr = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        log_max = 20 * np.log10(255.0)
+        for k in range(n):
+            lo, hi = int(offs[k]), int(offs[k + 1])
+            if hi - lo < hdr:
+                continue
+            view = data[lo:hi]
+            if not (view[:4] == np.frombuffer(MAGIC, np.uint8)).all():
+                continue
+            w = int(view[4]) | int(view[5]) << 8 | int(view[6]) << 16 | int(view[7]) << 24
+            h = int(view[8]) | int(view[9]) << 8 | int(view[10]) << 16 | int(view[11]) << 24
+            if hi - lo - hdr != w * h:
+                continue
+            ok[k] = True
+            px = view[hdr:].reshape(h, w)
+            ref = _pixels(int(ids_np[k]), w, h)
+            diff = px.astype(np.int16)
+            diff -= ref
+            mse = float(np.square(diff, dtype=np.int32).mean())
+            psnr[k] = np.inf if mse == 0 else log_max - 10 * np.log10(mse)
+
+        golden = pc.binary_join_element_wise(
+            pa.array(["a synthetic image number"] * n),
+            pc.cast(ids, pa.string()),
+            " ",
+        )
+        cap_ok = pc.fill_null(pc.equal(cols["caption"], golden), False)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("part")).combine_chunks()
+                if isinstance(cols["part"], pa.ChunkedArray) else cols["part"],
+                ids_arr if not isinstance(ids_arr, pa.ChunkedArray) else ids_arr.combine_chunks(),
+                pa.array(psnr, pa.float64()),
+                pa.array(ok),
+                cap_ok if not isinstance(cap_ok, pa.ChunkedArray) else cap_ok.combine_chunks(),
+            ],
+            names=["part", "image_id", "psnr", "decode_ok", "caption_ok"],
+        )
+
+
+def check_payload(images: DataFrame, use_arrow: bool = True) -> DataFrame:
     """Violation rows for the payload invariants, VIOLATION_SCHEMA-shaped.
 
     Projects to the needed columns *before* the UDF so Arrow ships only
     (part, image_id, bytes, caption) — w/h/fmt/phash never cross the
-    Python boundary.
+    Python boundary. ``use_arrow`` selects the zero-copy mapInArrow
+    kernel (default; ~4× less Python-side overhead than mapInPandas on
+    binary-heavy rows); the pandas kernel is kept as the readable
+    reference implementation and exercised in tests for parity.
     """
-    scored = images.select("part", "image_id", "bytes", "caption").mapInPandas(
-        payload_check_batches, schema=PAYLOAD_DDL
-    )
+    projected = images.select("part", "image_id", "bytes", "caption")
+    if use_arrow:
+        scored = projected.mapInArrow(payload_check_arrow, schema=PAYLOAD_DDL)
+    else:
+        scored = projected.mapInPandas(payload_check_batches, schema=PAYLOAD_DDL)
     bad = scored.filter(
         (~F.col("decode_ok"))
         | (F.col("psnr") < PSNR_THRESHOLD_DB)

@@ -161,3 +161,11 @@ def test_metadata_checks_never_read_bytes(spark, images, model, tmp_path_factory
     read_schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
     assert read_schemas, plan
     assert all("bytes" not in rs for rs in read_schemas), read_schemas
+
+
+def test_payload_kernels_parity(spark, images):
+    """The zero-copy mapInArrow kernel and the pandas reference kernel
+    must produce identical violation sets."""
+    a = {(r["key"], r["detail"]) for r in check_payload(images, use_arrow=True).collect()}
+    p = {(r["key"], r["detail"]) for r in check_payload(images, use_arrow=False).collect()}
+    assert a == p and len(a) > 0
