@@ -1,0 +1,62 @@
+"""One simulated executor for BENCH/scaling.py: a pinned local[K] Spark
+JVM running the full validation suite over a subset of the input files.
+Prints one JSON line {"wall_sec": ..., "rows": ...}.
+
+Invoked as:
+    python _scaling_worker.py <core_start> <core_count> <files_csv_path> <barrier_epoch>
+
+Setup (JVM start, package ship, kernel warmup) happens BEFORE the barrier
+timestamp; the timed region starts exactly at the barrier so concurrent
+workers measure steady-state cluster throughput, not each other's
+startup. Memory: driver heap set via SPARK_GRAFT_DRIVER_MEM by the
+orchestrator so K workers fit in RAM together.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    core_start, core_count = int(sys.argv[1]), int(sys.argv[2])
+    with open(sys.argv[3]) as f:
+        files = [ln.strip() for ln in f if ln.strip()]
+    barrier = float(sys.argv[4])
+    os.sched_setaffinity(0, set(range(core_start, core_start + core_count)))
+
+    import bench
+
+    spark = bench.build_session(core_count)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        import __spark_entry__ as entrymod
+
+        entrymod._ensure_shipped(spark)
+        # symlink farm: the direct-read payload kernel takes a directory,
+        # and each simulated executor owns a file subset
+        import tempfile
+
+        linkdir = tempfile.mkdtemp(prefix="exec_files_")
+        for f in files:
+            os.symlink(f, os.path.join(linkdir, os.path.basename(f)))
+        images = spark.read.parquet(*files)
+        bench.validation_suite_df(spark, images, images_path=linkdir)  # warmup
+        import time
+
+        now = time.time()
+        if now < barrier:
+            time.sleep(barrier - now)
+        late = max(0.0, now - barrier)
+        wall, n_rows = bench.validation_suite_df(spark, images, images_path=linkdir)
+        print(json.dumps({"wall_sec": wall, "rows": n_rows, "late_sec": late}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

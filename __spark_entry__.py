@@ -564,6 +564,32 @@ FROM cdf GROUP BY part_year ORDER BY part_year
 """
 
 
+# F2c — datetime lookups through the filter DSL, timestamps in the output
+# (session TZ pinned UTC for oracle parity)
+def q_f2_filter_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from neontology_spark.filters import compile_filters
+
+    ev = _t(spark, sf_dir, "events")
+    pred = compile_filters(
+        {
+            "ts__gte": datetime.datetime(2024, 1, 2, 0, 0, 0),
+            "ts__lt": datetime.datetime(2024, 1, 3, 0, 0, 0),
+            "event_type__in": ["click", "view"],
+        }
+    )
+    return ev.filter(pred).select("event_id", "ts", "event_type").orderBy("event_id")
+
+
+O_F2_DT = """
+SELECT event_id, ts, event_type FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+  AND event_type IN ('click', 'view')
+ORDER BY event_id
+"""
+
+
 # S1 — CREATE append semantics: duplicates allowed, detected by the
 # uniqueness check afterwards (tests/test_basenode.py:113-141)
 def q_s1_create_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_ks": _shipped(q_drift_psi_ks),
         "merge_upsert": _shipped(q_merge_upsert),
         "j5_traverse_depth": _shipped(q_j5_traverse_depth),
+        "f2_filter_datetime": _shipped(q_f2_filter_datetime),
         "s1_create_append": _shipped(q_s1_create_append),
         "s3_detach_delete": _shipped(q_s3_detach_delete),
         "text_profile": _shipped(q_text_profile),
@@ -876,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_ks": O_DRIFT_PSI,
         "merge_upsert": O_MERGE,
         "j5_traverse_depth": O_J5_DEPTH,
+        "f2_filter_datetime": O_F2_DT,
         "s1_create_append": O_S1,
         "s3_detach_delete": O_S3,
         "text_profile": O_TEXT_PROFILE,

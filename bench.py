@@ -54,6 +54,10 @@ def build_session(cpus: int):
         # small SF — at 100TB splits are plentiful, this only matters here
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # small Arrow batches for binary-heavy python exchange: 10k-row
+        # default batches (~40MB of image bytes) thrash worker memory;
+        # 512 rows ≈ 2MB measured ~10x faster on the no-op exchange
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .getOrCreate()
     )
 
@@ -75,11 +79,22 @@ def ensure_images(spark, n_rows: int) -> str:
 
 
 def validation_suite(spark, images_path: str):
-    """The headline job: full check suite over the image table; returns
-    (seconds, n_rows). One shared scan-count + each check materialized."""
+    """The headline job over a parquet path; see validation_suite_df."""
     import __spark_entry__ as entrymod
 
     entrymod._ensure_shipped(spark)
+    return validation_suite_df(
+        spark, spark.read.parquet(images_path), images_path=images_path
+    )
+
+
+def validation_suite_df(spark, images, images_path=None):
+    """The headline job: full check suite over the image table DataFrame;
+    returns (seconds, n_rows). One shared scan-count + each check
+    materialized. When ``images_path`` is given the payload check uses the
+    direct-read kernel (python workers read the parquet files themselves —
+    the JVM⇄python exchange is a measured machine-global ~200 MB/s
+    bottleneck in this sandbox; see BENCH/BASELINE.md analysis)."""
     from neontology_spark.checks import (
         check_domain,
         check_required,
@@ -88,11 +103,10 @@ def validation_suite(spark, images_path: str):
         partition_row_counts,
     )
     from neontology_spark.checks.base import CheckResult
-    from neontology_spark.images import check_payload, image_model
+    from neontology_spark.images import check_payload, check_payload_files, image_model
 
     from pyspark.sql import functions as F
 
-    images = spark.read.parquet(images_path)
     model = image_model()
     t0 = time.time()
     counts = partition_row_counts(images, "part")
@@ -104,37 +118,59 @@ def validation_suite(spark, images_path: str):
         ),
         check_required(images, model, part_col="part"),
         check_domain(images, model, part_col="part"),
-        CheckResult("payload_invariants", "Image", check_payload(images)),
+        CheckResult(
+            "payload_invariants",
+            "Image",
+            check_payload_files(spark, images_path)
+            if images_path
+            else check_payload(images),
+        ),
     ]
-    verdicts = results[0].verdicts(counts)
+    # ---- ONE action for the whole suite -----------------------------------
+    # Driver-side planning/scheduling latency is serial (Amdahl): with one
+    # aggregate per check the suite paid ~6 actions x multi-second Catalyst
+    # plans regardless of cluster size (measured: flat wall from 1 to 4
+    # executors). Instead: union all violation streams -> ONE
+    # groupBy(part, check) -> ONE summary row, unioned with one-row
+    # summaries of stats and drift -> a single collect().
+    all_vio = results[0].violations
     for r in results[1:]:
-        verdicts = verdicts.unionByName(r.verdicts(counts))
-    # IMPORTANT: aggregate over n_violations, not count(): counting rows of
-    # a left-outer join whose right side is distinct on the join key lets
-    # Catalyst ELIMINATE the join — the checks would never execute.
-    summary = verdicts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_violations").alias("viol"),
-    ).collect()[0]
-    n_verdicts = summary["n"]
-    assert summary["viol"] is not None
-    stats_rows = column_stats(
+        all_vio = all_vio.unionByName(r.violations)
+    vio_summary = all_vio.groupBy().agg(
+        F.count(F.lit(1)).alias("a"),
+        F.count_distinct("check").alias("b"),
+    ).select(F.lit("violations").alias("what"), "a", "b")
+
+    stats = column_stats(
         images, columns=["image_id", "w", "h", "fmt", "caption", "phash"],
         part_col="part",
-    ).count()
-    # drift: per-partition w-histogram vs the global distribution
+    )
+    stats_summary = stats.groupBy().agg(
+        F.count(F.lit(1)).alias("a"), F.sum("n_nulls").alias("b")
+    ).select(F.lit("stats").alias("what"), "a", "b")
+
     from neontology_spark.checks.drift import drift_metrics, numeric_histogram
 
     edges = [0.0, 16, 32, 48, 64, 80, 96, 112, 128, 160]
     global_hist = numeric_histogram(images, "w", edges)
     part_hist = numeric_histogram(images, "w", edges, part_col="part")
-    drift_rows = drift_metrics(global_hist, part_hist).count()
-    assert drift_rows > 0
-    # row count from the (part-column-pruned) counts aggregate, not a
-    # second full-table action
-    n_rows = counts.agg(F.sum("n_rows").alias("n")).collect()[0]["n"]
+    drift_summary = drift_metrics(global_hist, part_hist).groupBy().agg(
+        F.count(F.lit(1)).alias("a"),
+        F.sum(F.col("psi")).alias("b"),
+    ).select(F.lit("drift").alias("what"), "a", "b")
+
+    rows_summary = counts.groupBy().agg(
+        F.sum("n_rows").alias("a"), F.count(F.lit(1)).alias("b")
+    ).select(F.lit("rows").alias("what"), "a", "b")
+
+    final = vio_summary.unionByName(stats_summary).unionByName(
+        drift_summary
+    ).unionByName(rows_summary)
+    got = {r["what"]: r for r in final.collect()}
     dt = time.time() - t0
-    assert n_verdicts > 0 and stats_rows > 0
+    assert got["violations"]["a"] > 0 and got["violations"]["b"] >= 4
+    assert got["stats"]["a"] > 0 and got["drift"]["a"] > 0
+    n_rows = got["rows"]["a"]
     return dt, n_rows
 
 

@@ -282,20 +282,15 @@ def payload_check_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def payload_check_arrow(it):
-    """mapInArrow kernel — the fast path. Operates on Arrow RecordBatches
-    with ZERO pandas conversion: the binary column is read in place from
-    the Arrow (offsets, data) buffers as numpy views (no per-row python
-    ``bytes`` objects — materializing 10^6+ of those dominates the pandas
-    path), image ids are parsed with fixed-width Arrow compute slicing,
-    and captions are compared vectorized. Only the per-image pixel loop
-    remains python, operating on buffer views.
-    """
+def _score_record_batch(batch):
+    """Score one Arrow RecordBatch of (part, image_id, bytes, caption) —
+    shared core of the exchange-based and direct-read payload kernels.
+    Zero-copy: pixel planes are numpy views into the Arrow data buffer."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     hdr = len(MAGIC) + 8  # magic + packed w,h
-    for batch in it:
+    if True:  # keep body indentation aligned with the historical loop
         cols = {batch.schema.names[i]: batch.column(i) for i in range(batch.num_columns)}
         blob = cols["bytes"].combine_chunks() if isinstance(cols["bytes"], pa.ChunkedArray) else cols["bytes"]
         n = len(blob)
@@ -338,7 +333,7 @@ def payload_check_arrow(it):
             " ",
         )
         cap_ok = pc.fill_null(pc.equal(cols["caption"], golden), False)
-        yield pa.RecordBatch.from_arrays(
+        return pa.RecordBatch.from_arrays(
             [
                 batch.column(batch.schema.get_field_index("part")).combine_chunks()
                 if isinstance(cols["part"], pa.ChunkedArray) else cols["part"],
@@ -349,6 +344,57 @@ def payload_check_arrow(it):
             ],
             names=["part", "image_id", "psnr", "decode_ok", "caption_ok"],
         )
+
+
+def payload_check_arrow(it):
+    """mapInArrow kernel — exchange-based path: Arrow RecordBatches of
+    (part, image_id, bytes, caption) arrive from the JVM; each is scored
+    zero-copy (no pandas, no per-row python bytes objects)."""
+    for batch in it:
+        yield _score_record_batch(batch)
+
+
+def payload_files_kernel(it):
+    """mapInArrow kernel — DIRECT-READ path: input batches carry parquet
+    file PATHS; the worker opens each file with pyarrow (C++ reader) and
+    scores its batches locally. The JVM⇄Python exchange then carries only
+    paths in and scores out (KBs), taking the byte payload off the
+    exchange entirely — the pattern for heavy binary columns where the
+    python exchange, not the scan, is the bottleneck (measured ~200 MB/s
+    machine-wide in this sandbox regardless of cores or JVM count).
+
+    At cluster scale this is the same trick as Petastorm/WebDataset-style
+    shard readers: data-local file reads in the python worker, Spark
+    provides distribution, retry, and the surrounding relational plan.
+    """
+    import pyarrow.parquet as pq
+
+    for path_batch in it:
+        for path in path_batch.column("path").to_pylist():
+            pf = pq.ParquetFile(path)
+            for rb in pf.iter_batches(
+                batch_size=1024, columns=["part", "image_id", "bytes", "caption"]
+            ):
+                yield _score_record_batch(rb)
+
+
+def check_payload_files(spark, table_path: str) -> DataFrame:
+    """Direct-read payload check over a parquet directory: distributes the
+    file list (one file per task — parquet row-groups give intra-file
+    batching), scores in python workers, returns VIOLATION_SCHEMA rows.
+    Semantics identical to ``check_payload`` (parity-tested)."""
+    import os as _os
+
+    files = sorted(
+        _os.path.join(table_path, f)
+        for f in _os.listdir(table_path)
+        if f.endswith(".parquet")
+    )
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+    scored = fdf.mapInArrow(payload_files_kernel, schema=PAYLOAD_DDL)
+    return _payload_violations(scored)
 
 
 def check_payload(images: DataFrame, use_arrow: bool = True) -> DataFrame:
@@ -366,6 +412,10 @@ def check_payload(images: DataFrame, use_arrow: bool = True) -> DataFrame:
         scored = projected.mapInArrow(payload_check_arrow, schema=PAYLOAD_DDL)
     else:
         scored = projected.mapInPandas(payload_check_batches, schema=PAYLOAD_DDL)
+    return _payload_violations(scored)
+
+
+def _payload_violations(scored: DataFrame) -> DataFrame:
     bad = scored.filter(
         (~F.col("decode_ok"))
         | (F.col("psnr") < PSNR_THRESHOLD_DB)

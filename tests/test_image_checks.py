@@ -169,3 +169,16 @@ def test_payload_kernels_parity(spark, images):
     a = {(r["key"], r["detail"]) for r in check_payload(images, use_arrow=True).collect()}
     p = {(r["key"], r["detail"]) for r in check_payload(images, use_arrow=False).collect()}
     assert a == p and len(a) > 0
+
+
+def test_payload_direct_read_parity(spark, images, tmp_path_factory):
+    """check_payload_files (python workers read parquet directly) must
+    equal the exchange-based check_payload on the same stored table."""
+    from neontology_spark.images import check_payload_files
+
+    path = str(tmp_path_factory.mktemp("direct") / "img.parquet")
+    images.write.parquet(path)
+    stored = spark.read.parquet(path)
+    a = {(r["key"], r["detail"]) for r in check_payload(stored).collect()}
+    d = {(r["key"], r["detail"]) for r in check_payload_files(spark, path).collect()}
+    assert a == d and len(a) > 0
