@@ -31,7 +31,11 @@ def main() -> None:
 
     import bench
 
-    spark = bench.build_session(core_count)
+    # task parallelism may be lower than the pinned range: the spare cores
+    # absorb JVM service threads / python daemons / OS so four executors
+    # saturating the whole machine don't fall off the full-occupancy cliff
+    task_cores = int(os.environ.get("SPARK_GRAFT_TASK_CORES", str(core_count)))
+    spark = bench.build_session(task_cores)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         import __spark_entry__ as entrymod
