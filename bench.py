@@ -13,9 +13,10 @@ synthesis. `value` = total wall seconds over all headline queries;
 `rows_per_sec` = image-table rows / validation-suite seconds (the
 BASELINE.json throughput metric).
 
-Scaling-efficiency evidence (N vs 4N cores) is produced by
-BENCH/scaling.py (two sequential SparkSessions); kept out of the default
-bench run so the driver's per-round bench stays fast.
+Scaling-efficiency evidence (1 vs 3 vs 4 simulated executors) is produced
+by BENCH/scaling.py (independent pinned JVMs over disjoint file slices);
+kept out of the default bench run so the driver's per-round bench stays
+fast. Results + protocol + controls: BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
