@@ -115,7 +115,8 @@ def main() -> None:
 
     def level(n_execs: int) -> tuple[float, int]:
         assigns = [
-            (k * 8, 8, files[k::n_execs]) for k in range(n_execs)
+            (k * CORES_PER_EXEC, CORES_PER_EXEC, files[k::n_execs])
+            for k in range(n_execs)
         ]
         return min(
             (_run_workers(assigns) for _ in range(REPEATS)), key=lambda x: x[0]

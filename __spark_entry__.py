@@ -332,7 +332,9 @@ def q_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_UNIQUE = """
-SELECT count(*) AS n_dup_keys, sum(c) AS n_dup_rows, max(c) AS max_dup FROM (
+SELECT CAST(count(*) AS BIGINT) AS n_dup_keys,
+       CAST(sum(c) AS BIGINT) AS n_dup_rows,
+       CAST(max(c) AS BIGINT) AS max_dup FROM (
   SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
 )
 """
@@ -351,16 +353,16 @@ def q_a6_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_A6 = """
 SELECT * FROM (
-  SELECT 'o_custkey' AS "column", count(*) AS n_rows,
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-         count(DISTINCT o_custkey) AS n_distinct,
+  SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
          CAST(min(o_custkey) AS VARCHAR) AS min_value,
          CAST(max(o_custkey) AS VARCHAR) AS max_value
   FROM orders
   UNION ALL
-  SELECT 'o_orderstatus', count(*),
-         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
-         count(DISTINCT o_orderstatus),
+  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT),
          CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
   FROM orders
 ) ORDER BY "column"

@@ -92,14 +92,26 @@ class ValidationRun:
     """Checkpoint-resumable validation driver.
 
     ``checks`` — callables ``(df) -> CheckResult`` (bind the model/config
-    with functools.partial); ``metrics_fn`` — optional ``(df) -> DataFrame``
-    for per-partition stats rows (the metrics stream).
+    with functools.partial) whose semantics are **partition-local** (e.g.
+    required-null, value-domain, payload invariants): on resume they run
+    over the pruned pending-partition scan only.
+
+    ``global_checks`` — checks whose correctness needs the **whole table**
+    (uniqueness, drift): a duplicate key whose two rows straddle a completed
+    and a pending partition is invisible to a pruned scan, so these always
+    scan the full table; only their *output* (violations/verdicts) is
+    restricted to the pending partitions (completed partitions' rows were
+    already recorded by the earlier run). This trades re-scan cost for
+    correctness on resume — the pruned-scan shortcut is a silent false-pass.
+
+    ``metrics_fn`` — optional ``(df) -> DataFrame`` for per-partition stats
+    rows (the metrics stream).
 
     ``run(resume=True)`` computes pending = all partitions − completed
     lineage, filters the table to pending partitions (an IN-list predicate
-    that prunes Iceberg/parquet partitions at the scan), executes every
-    check once over the pruned scan, appends verdicts + violations +
-    metrics, then marks lineage. Returns the pending-part verdict rows.
+    that prunes Iceberg/parquet partitions at the scan), executes the checks
+    as above, appends verdicts + violations + metrics, then marks lineage.
+    Returns the pending-part verdict rows.
     """
 
     spark: SparkSession
@@ -110,6 +122,7 @@ class ValidationRun:
     store: AuditStore
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     metrics_fn: Optional[Callable[[DataFrame], DataFrame]] = None
+    global_checks: Sequence[Callable[[DataFrame], "object"]] = ()
 
     def all_parts(self) -> set[int]:
         return {
@@ -128,7 +141,7 @@ class ValidationRun:
         return parts - self.store.completed_parts(self.run_id, self.label)
 
     def run(self, resume: bool = True) -> DataFrame:
-        from .checks.base import partition_row_counts
+        from .checks.base import CheckResult, partition_row_counts
 
         pending = sorted(self.pending_parts(resume))
         if not pending:
@@ -142,8 +155,9 @@ class ValidationRun:
 
         verdicts = None
         violations = None
-        for check in self.checks:
-            res = check(scoped)
+
+        def accumulate(res) -> None:
+            nonlocal verdicts, violations
             v = res.verdicts(counts)
             verdicts = v if verdicts is None else verdicts.unionByName(v)
             violations = (
@@ -151,6 +165,19 @@ class ValidationRun:
                 if violations is None
                 else violations.unionByName(res.violations)
             )
+
+        for check in self.checks:
+            accumulate(check(scoped))
+        for check in self.global_checks:
+            # whole-table scan (cross-partition violations must not be
+            # missed on resume); output restricted to pending partitions —
+            # part=NULL (global-sentinel) violations are always kept.
+            res = check(self.table)
+            pending_only = res.violations.filter(
+                F.col("part").isNull()
+                | F.col("part").isin([int(p) for p in pending])
+            )
+            accumulate(CheckResult(res.check, res.label, pending_only))
 
         run_tag = F.lit(self.run_id).alias("run_id")
         self.store.append("violations", violations.select(run_tag, "*"))

@@ -100,15 +100,25 @@ class CheckResult:
 
     def verdicts(self, row_counts: DataFrame) -> DataFrame:
         """Per-partition pass/fail. ``row_counts`` = (part, n_rows) computed
-        once per table and shared across checks (one scan, many verdicts)."""
+        once per table and shared across checks (one scan, many verdicts).
+
+        The join is NULL-safe AND full-outer on ``part``: global checks use
+        part=NULL (the documented sentinel), and a plain left equi-join would
+        silently drop their violation counts — a false "passed" verdict from
+        a validation engine. Full-outer also surfaces violations attributed
+        to a part with no row-count row (n_rows=NULL, passed=False) instead
+        of hiding them.
+        """
         vio = (
             self.violations.groupBy("part")
             .agg(F.count(F.lit(1)).alias("n_violations"))
         )
         return (
-            row_counts.join(vio, "part", "left_outer")
+            row_counts.join(
+                vio, row_counts["part"].eqNullSafe(vio["part"]), "full_outer"
+            )
             .select(
-                F.col("part").cast("long").alias("part"),
+                F.coalesce(row_counts["part"], vio["part"]).cast("long").alias("part"),
                 F.lit(self.check).alias("check"),
                 F.lit(self.label).alias("label"),
                 F.col("n_rows").cast("long").alias("n_rows"),

@@ -250,9 +250,12 @@ def check_unique(
     key_col = column or model.pp_storage
     name = check_name or f"unique__{key_col}"
     dups = duplicate_keys(df, key_col, salted=salted)
+    # NULL-safe member join: a nullable unique column with several NULL rows
+    # is a duplicate group too (groupBy counts NULLs together); a plain
+    # equi-join would silently drop those members from the violation set.
     members = df.join(
-        F.broadcast(dups.withColumnRenamed("key", key_col)), key_col, "inner"
-    )
+        F.broadcast(dups), df[key_col].eqNullSafe(dups["key"]), "inner"
+    ).drop(dups["key"])
     vio = shape_violations(
         members,
         check=name,

@@ -290,60 +290,59 @@ def _score_record_batch(batch):
     import pyarrow.compute as pc
 
     hdr = len(MAGIC) + 8  # magic + packed w,h
-    if True:  # keep body indentation aligned with the historical loop
-        cols = {batch.schema.names[i]: batch.column(i) for i in range(batch.num_columns)}
-        blob = cols["bytes"].combine_chunks() if isinstance(cols["bytes"], pa.ChunkedArray) else cols["bytes"]
-        n = len(blob)
-        # Arrow binary layout: offsets int32/int64 + one contiguous data buf
-        validity, off_buf, data_buf = blob.buffers()
-        off_dtype = np.int64 if pa.types.is_large_binary(blob.type) else np.int32
-        offs = np.frombuffer(off_buf, dtype=off_dtype, count=n + 1, offset=blob.offset * off_dtype().itemsize)
-        data = np.frombuffer(data_buf, dtype=np.uint8)
+    cols = {batch.schema.names[i]: batch.column(i) for i in range(batch.num_columns)}
+    blob = cols["bytes"].combine_chunks() if isinstance(cols["bytes"], pa.ChunkedArray) else cols["bytes"]
+    n = len(blob)
+    # Arrow binary layout: offsets int32/int64 + one contiguous data buf
+    validity, off_buf, data_buf = blob.buffers()
+    off_dtype = np.int64 if pa.types.is_large_binary(blob.type) else np.int32
+    offs = np.frombuffer(off_buf, dtype=off_dtype, count=n + 1, offset=blob.offset * off_dtype().itemsize)
+    data = np.frombuffer(data_buf, dtype=np.uint8)
 
-        # image ids: fixed-format "img_%012d" → numeric tail, in C
-        ids_arr = cols["image_id"]
-        ids = pc.utf8_slice_codeunits(ids_arr, 4).cast(pa.int64())
-        ids_np = ids.to_numpy(zero_copy_only=False)
+    # image ids: fixed-format "img_%012d" → numeric tail, in C
+    ids_arr = cols["image_id"]
+    ids = pc.utf8_slice_codeunits(ids_arr, 4).cast(pa.int64())
+    ids_np = ids.to_numpy(zero_copy_only=False)
 
-        psnr = np.full(n, np.nan)
-        ok = np.zeros(n, dtype=bool)
-        log_max = 20 * np.log10(255.0)
-        for k in range(n):
-            lo, hi = int(offs[k]), int(offs[k + 1])
-            if hi - lo < hdr:
-                continue
-            view = data[lo:hi]
-            if not (view[:4] == np.frombuffer(MAGIC, np.uint8)).all():
-                continue
-            w = int(view[4]) | int(view[5]) << 8 | int(view[6]) << 16 | int(view[7]) << 24
-            h = int(view[8]) | int(view[9]) << 8 | int(view[10]) << 16 | int(view[11]) << 24
-            if hi - lo - hdr != w * h:
-                continue
-            ok[k] = True
-            px = view[hdr:].reshape(h, w)
-            ref = _pixels(int(ids_np[k]), w, h)
-            diff = px.astype(np.int16)
-            diff -= ref
-            mse = float(np.square(diff, dtype=np.int32).mean())
-            psnr[k] = np.inf if mse == 0 else log_max - 10 * np.log10(mse)
+    psnr = np.full(n, np.nan)
+    ok = np.zeros(n, dtype=bool)
+    log_max = 20 * np.log10(255.0)
+    for k in range(n):
+        lo, hi = int(offs[k]), int(offs[k + 1])
+        if hi - lo < hdr:
+            continue
+        view = data[lo:hi]
+        if not (view[:4] == np.frombuffer(MAGIC, np.uint8)).all():
+            continue
+        w = int(view[4]) | int(view[5]) << 8 | int(view[6]) << 16 | int(view[7]) << 24
+        h = int(view[8]) | int(view[9]) << 8 | int(view[10]) << 16 | int(view[11]) << 24
+        if hi - lo - hdr != w * h:
+            continue
+        ok[k] = True
+        px = view[hdr:].reshape(h, w)
+        ref = _pixels(int(ids_np[k]), w, h)
+        diff = px.astype(np.int16)
+        diff -= ref
+        mse = float(np.square(diff, dtype=np.int32).mean())
+        psnr[k] = np.inf if mse == 0 else log_max - 10 * np.log10(mse)
 
-        golden = pc.binary_join_element_wise(
-            pa.array(["a synthetic image number"] * n),
-            pc.cast(ids, pa.string()),
-            " ",
-        )
-        cap_ok = pc.fill_null(pc.equal(cols["caption"], golden), False)
-        return pa.RecordBatch.from_arrays(
-            [
-                batch.column(batch.schema.get_field_index("part")).combine_chunks()
-                if isinstance(cols["part"], pa.ChunkedArray) else cols["part"],
-                ids_arr if not isinstance(ids_arr, pa.ChunkedArray) else ids_arr.combine_chunks(),
-                pa.array(psnr, pa.float64()),
-                pa.array(ok),
-                cap_ok if not isinstance(cap_ok, pa.ChunkedArray) else cap_ok.combine_chunks(),
-            ],
-            names=["part", "image_id", "psnr", "decode_ok", "caption_ok"],
-        )
+    golden = pc.binary_join_element_wise(
+        pa.array(["a synthetic image number"] * n),
+        pc.cast(ids, pa.string()),
+        " ",
+    )
+    cap_ok = pc.fill_null(pc.equal(cols["caption"], golden), False)
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column(batch.schema.get_field_index("part")).combine_chunks()
+            if isinstance(cols["part"], pa.ChunkedArray) else cols["part"],
+            ids_arr if not isinstance(ids_arr, pa.ChunkedArray) else ids_arr.combine_chunks(),
+            pa.array(psnr, pa.float64()),
+            pa.array(ok),
+            cap_ok if not isinstance(cap_ok, pa.ChunkedArray) else cap_ok.combine_chunks(),
+        ],
+        names=["part", "image_id", "psnr", "decode_ok", "caption_ok"],
+    )
 
 
 def payload_check_arrow(it):

@@ -19,16 +19,15 @@ def setup(spark, tmp_path):
     images = generate_images(spark, n_rows=N, n_parts=N_PARTS)
     model = image_model()
     store = AuditStore(spark, str(tmp_path / "audit"))
-    checks = [
-        functools.partial(check_unique, model=model, part_col="part"),
-        functools.partial(check_required, model=model, part_col="part"),
-    ]
+    # uniqueness is a GLOBAL check: duplicate keys straddling a completed
+    # and a pending partition must not be missed on resume
     run = ValidationRun(
         spark=spark,
         table=images,
         label="Image",
         part_col="part",
-        checks=checks,
+        checks=[functools.partial(check_required, model=model, part_col="part")],
+        global_checks=[functools.partial(check_unique, model=model, part_col="part")],
         store=store,
         run_id="run_test_1",
         metrics_fn=lambda df: column_stats(df, columns=["w", "h", "fmt"], part_col="part"),
@@ -67,6 +66,13 @@ def test_partial_completion_resumes_only_pending(setup):
         r["part"] for r in vio.filter(F.col("check") == "required_not_null").collect()
     }
     assert got_null_parts == {i % N_PARTS for i in NULL_FMT_ROWS}
+    # CROSS-BOUNDARY duplicate: rows 12 (part 4, completed) and 13 (part 5,
+    # pending) share an image_id. A pruned-scan uniqueness check would see
+    # only the part-5 member (count 1 ⇒ no dup ⇒ silent false pass); the
+    # global check scans the whole table and must report the part-5 member.
+    dup_rows = vio.filter(F.col("check").startswith("unique")).collect()
+    assert {r["part"] for r in dup_rows} == {5}
+    assert any(r["key"] == "img_000000000012" for r in dup_rows)
     # now fully complete
     assert run.pending_parts() == set()
 

@@ -130,6 +130,53 @@ def test_verdicts_per_partition(images, model):
     assert total_viol == len(NULL_FMT_ROWS)
 
 
+def test_global_null_part_verdict_not_false_pass(spark, images, model):
+    """part=NULL is the documented global sentinel: a global check's
+    violations must reach the verdict (regression: the old equi-join
+    dropped NULL=NULL matches ⇒ n_violations=0/passed=True)."""
+    from neontology_spark.checks.base import CheckResult, partition_row_counts, shape_violations
+
+    two_bad = shape_violations(
+        images.limit(2), check="global_check", label="Image",
+        part_col=None, key=F.col("image_id"),
+    )
+    counts = partition_row_counts(images, None)  # single part=NULL row
+    v = CheckResult("global_check", "Image", two_bad).verdicts(counts).collect()
+    assert len(v) == 1
+    assert v[0]["part"] is None
+    assert v[0]["n_violations"] == 2
+    assert v[0]["passed"] is False
+
+
+def test_verdict_surfaces_violations_with_unknown_part(images, model):
+    """Violations at a part with no row-count row (e.g. global NULL-part
+    violations against per-partition counts) must surface as a failed
+    verdict row, not vanish in the join."""
+    from neontology_spark.checks.base import CheckResult, partition_row_counts, shape_violations
+
+    vio = shape_violations(
+        images.limit(1), check="x", label="Image", part_col=None,
+    )
+    counts = partition_row_counts(images, "part")  # parts 0..7, no NULL
+    rows = CheckResult("x", "Image", vio).verdicts(counts).collect()
+    null_rows = [r for r in rows if r["part"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["passed"] is False
+    assert all(r["passed"] for r in rows if r["part"] is not None)
+
+
+def test_unique_null_key_duplicates_reported(spark, model):
+    """Several NULL values in a (nullable) unique column are a duplicate
+    group; the member join must be NULL-safe or they silently pass."""
+    df = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", 7)],
+        "image_id string, phash long",
+    )
+    res = check_unique(df, model, column="phash")
+    rows = res.violations.collect()
+    assert len(rows) == 2
+    assert all(r["key"] is None and "count=2" in r["detail"] for r in rows)
+
+
 def test_stats_profile(images):
     stats = {
         r["column"]: r

@@ -103,6 +103,60 @@ def test_ri_unmatched_reported_and_escalated(spark, catalog):
         import_records(raw, catalog, error_on_unmatched=True)
 
 
+RAW_RELS_OUT_DDL = (
+    "LABEL string, name string, age long, team string, "
+    "RELATIONSHIPS_OUT array<struct<RELATIONSHIP_TYPE:string, "
+    "TARGET_LABEL:string, TARGET_PROPERTY:string, TARGETS:array<string>>>"
+)
+
+
+def test_relationships_out_exploded_and_checked(spark, catalog):
+    """Nested RELATIONSHIPS_OUT import (reference import_records.py:239-298):
+    each node record's pp value becomes the edge source; TARGETS explode to
+    one edge per target; RI checks run on the exploded edges."""
+    from neontology_spark.tools.import_records import explode_relationships_out
+
+    raw = spark.createDataFrame(
+        [
+            ("PersonX", "alice", 30, None,
+             [("MEMBER_OF", "TeamX", None, ["reds", "ghost_team"])]),
+            ("PersonX", "bob", 25, None, None),
+            ("TeamX", None, None, "reds", None),
+        ],
+        RAW_RELS_OUT_DDL,
+    )
+    exploded = explode_relationships_out(raw, catalog)
+    rows = sorted(
+        (r["SOURCE_LABEL"], r["source"], r["RELATIONSHIP_TYPE"], r["target"])
+        for r in exploded.collect()
+    )
+    assert rows == [
+        ("PersonX", "alice", "MEMBER_OF", "ghost_team"),
+        ("PersonX", "alice", "MEMBER_OF", "reds"),
+    ]
+
+    report = import_records(raw, catalog)
+    assert report.rels_by_type["MEMBER_OF"].count() == 2
+    um = {(r["side"], r["key"]) for r in report.ri_unmatched.collect()}
+    assert um == {("target", "ghost_team")}
+
+
+def test_relationships_out_target_property(spark, catalog):
+    """TARGET_PROPERTY selects an alternate match column (J3)."""
+    raw = spark.createDataFrame(
+        [
+            ("PersonX", "alice", 30, None,
+             [("MEMBER_OF", "PersonX", "age", ["25"])]),
+            ("PersonX", "bob", 25, None, None),
+        ],
+        RAW_RELS_OUT_DDL,
+    )
+    report = import_records(raw, catalog)
+    # target "25" matches bob via the age column — no unmatched rows
+    assert report.ri_unmatched.count() == 0
+    assert report.rels_by_type["MEMBER_OF"].count() == 1
+
+
 def test_merge_into_existing(spark, catalog):
     existing = spark.createDataFrame([("alice", 99)], "name string, age long")
     raw = raw_df(
