@@ -819,30 +819,81 @@ ORDER BY id_a, id_b
 """
 
 
-# DEDUP — MinHash LSH + SimHash near-dup (probabilistic candidate
-# generation: rows-only driver check; exact unit tests in tests/)
+# DEDUP — MinHash LSH + SimHash near-dup with DETERMINISTIC oracles:
+# planted EXACT duplicates have identical signatures, so they collide in
+# every band/chunk (recall exactly 1.0) and pass the estimate filter at
+# threshold 1.0 / hamming 0 — the expected pair set is then pure SQL over
+# identical normalized text (same trick as embedding_near_dup). The full
+# LSH machinery (signatures, banding, bucket join, verify) is exercised
+# end-to-end; probabilistic NEAR-dup recall is covered by pytest.
+# The synthetic documents draw from a ~25-word vocabulary, so distinct
+# base docs can share whole token sets (simhash is then legitimately
+# identical) or near-identical shingle sets. Appending 8 id-derived tokens
+# makes every base doc lexically unique (pairwise jaccard drops well below
+# the all-64-minhash-equal regime) while planted duplicates — copied AFTER
+# augmentation — stay byte-identical.
+def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    uid = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"), *[F.concat(F.lit(c), uid) for c in "abcdefgh"]
+        ).alias("text"),
+    )
+    planted = aug.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return aug.unionByName(planted)
+
+
+_O_LSH_CORPUS = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' a' || doc_id || ' b' || doc_id || ' c' || doc_id
+              || ' d' || doc_id || ' e' || doc_id || ' f' || doc_id
+              || ' g' || doc_id || ' h' || doc_id AS text
+  FROM documents WHERE doc_id < 200
+),
+unioned AS (
+  SELECT doc_id, text FROM aug
+  UNION ALL
+  SELECT doc_id + 100000, text FROM aug WHERE doc_id % 20 = 0
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM unioned
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neontology_spark.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    mutated = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    return (
+        minhash_lsh_pairs(_lsh_corpus(spark, sf_dir), threshold=1.0)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     )
-    union = docs.select("doc_id", "text").unionByName(mutated)
-    return minhash_lsh_pairs(union, threshold=0.5).orderBy("id_a", "id_b")
+
+
+O_MINHASH = _O_LSH_CORPUS
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neontology_spark.dedup import simhash_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    mutated = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    return (
+        simhash_pairs(_lsh_corpus(spark, sf_dir), max_hamming=0)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     )
-    union = docs.select("doc_id", "text").unionByName(mutated)
-    return simhash_pairs(union, max_hamming=3).orderBy("id_a", "id_b")
+
+
+O_SIMHASH = _O_LSH_CORPUS  # identical planted-duplicate pair set
 
 
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -913,6 +964,6 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": O_JACCARD,
         "sim_topk": O_SIM_TOPK,
         "embedding_near_dup": O_EMB_NEAR_DUP,
-        # minhash_lsh / simhash_pairs: probabilistic LSH candidate sets are
-        # not SQL-expressible portably (xxhash64) -> rows-only driver check
+        "minhash_lsh": O_MINHASH,
+        "simhash_pairs": O_SIMHASH,
     }
