@@ -440,6 +440,100 @@ ORDER BY o_custkey
 """
 
 
+# S4 — relationship upsert end-to-end (graphengine.py:255-295, merge_on
+# semantics fixed by tests/test_baserelationship.py:117-206): endpoint
+# resolution silently drops batch rows whose source doesn't exist, edge
+# identity is (source, target, merge_on value) — same identity ⇒ price
+# overwritten (ALWAYS_SET), different prio ⇒ a NEW edge row.
+def q_s4_merge_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from neontology_spark.models import MergePolicy, Property, RelationshipModel
+    from neontology_spark.relationships import resolve_and_merge_relationships
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.col("o_custkey").alias("source"),
+        F.pmod(F.col("o_custkey"), F.lit(25)).alias("target"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    cut = F.lit("1995-01-01").cast("timestamp")
+
+    def latest(df):
+        w = W.partitionBy("source", "target", "prio").orderBy(
+            F.col("o_orderkey").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "o_orderkey", "o_orderdate")
+        )
+
+    existing = latest(edges.filter(F.col("o_orderdate") < cut))
+    batch = latest(edges.filter(F.col("o_orderdate") >= cut))
+    model = RelationshipModel(
+        rel_type="FAKE_EDGE",
+        source_label="CustomerT",
+        target_label="NationT",
+        properties=[
+            Property("prio", str, policy=MergePolicy.MERGE_ON),
+            Property("price", float, policy=MergePolicy.ALWAYS_SET),
+        ],
+    )
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    nation = _t(spark, sf_dir, "nation")
+    post = resolve_and_merge_relationships(
+        existing,
+        batch,
+        model,
+        source_nodes=cust,
+        target_nodes=nation,
+        source_key="c_custkey",
+        target_key="n_nationkey",
+        broadcast_nodes=True,
+    )
+    return post.select(
+        "source", "target", "prio", F.round("price", 2).alias("price")
+    ).orderBy("source", "target", "prio")
+
+
+O_S4 = """
+WITH edges AS (
+  SELECT o_custkey AS source, o_custkey % 25 AS target,
+         o_orderpriority AS prio, o_totalprice AS price,
+         o_orderkey, o_orderdate
+  FROM orders
+),
+existing AS (
+  SELECT source, target, prio, price FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source, target, prio ORDER BY o_orderkey DESC) rn
+    FROM edges WHERE o_orderdate < TIMESTAMP '1995-01-01') WHERE rn = 1
+),
+batch AS (
+  SELECT source, target, prio, price FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source, target, prio ORDER BY o_orderkey DESC) rn
+    FROM edges WHERE o_orderdate >= TIMESTAMP '1995-01-01') WHERE rn = 1
+),
+resolved AS (
+  SELECT b.* FROM batch b
+  WHERE b.source IN (SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+    AND b.target IN (SELECT n_nationkey FROM nation)
+)
+SELECT COALESCE(e.source, b.source) AS source,
+       COALESCE(e.target, b.target) AS target,
+       COALESCE(e.prio, b.prio) AS prio,
+       round(COALESCE(b.price, e.price), 2) AS price
+FROM existing e FULL OUTER JOIN resolved b
+  ON e.source = b.source AND e.target = b.target AND e.prio = b.prio
+ORDER BY source, target, prio
+"""
+
+
 # J5 — bounded multi-hop traversal (get_related, basenode.py:425-528) on a
 # synthetic edge table derived from events; oracle = recursive CTE
 def q_j5_traverse_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,6 +682,32 @@ O_F2_DT = """
 SELECT event_id, ts, event_type FROM events
 WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
   AND event_type IN ('click', 'view')
+ORDER BY event_id
+"""
+
+
+# F2d — temporal ACCESSOR lookups (field__year / field__day__lte …),
+# replaying the reference's datetime-component access in queries
+# (n.test_created.year, tests/test_basenode.py:391-415; SURVEY §2.7)
+def q_f2_filter_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.filters import compile_filters
+
+    ev = _t(spark, sf_dir, "events")
+    pred = compile_filters(
+        {
+            "ts__month": 1,
+            "ts__day__lte": 3,
+            "ts__hour__gte": 6,
+            "event_type": "click",
+        }
+    )
+    return ev.filter(pred).select("event_id", "ts").orderBy("event_id")
+
+
+O_F2_TEMPORAL = """
+SELECT event_id, ts FROM events
+WHERE month(ts) = 1 AND day(ts) <= 3 AND hour(ts) >= 6
+  AND event_type = 'click'
 ORDER BY event_id
 """
 
@@ -923,8 +1043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_histogram": _shipped(q_drift_histogram),
         "drift_psi_ks": _shipped(q_drift_psi_ks),
         "merge_upsert": _shipped(q_merge_upsert),
+        "s4_merge_relationships": _shipped(q_s4_merge_relationships),
         "j5_traverse_depth": _shipped(q_j5_traverse_depth),
         "f2_filter_datetime": _shipped(q_f2_filter_datetime),
+        "f2_filter_temporal": _shipped(q_f2_filter_temporal),
         "s1_create_append": _shipped(q_s1_create_append),
         "s3_detach_delete": _shipped(q_s3_detach_delete),
         "text_profile": _shipped(q_text_profile),
@@ -955,8 +1077,10 @@ def oracle_sql() -> dict[str, str]:
         "drift_histogram": O_DRIFT_HIST,
         "drift_psi_ks": O_DRIFT_PSI,
         "merge_upsert": O_MERGE,
+        "s4_merge_relationships": O_S4,
         "j5_traverse_depth": O_J5_DEPTH,
         "f2_filter_datetime": O_F2_DT,
+        "f2_filter_temporal": O_F2_TEMPORAL,
         "s1_create_append": O_S1,
         "s3_detach_delete": O_S3,
         "text_profile": O_TEXT_PROFILE,

@@ -7,6 +7,7 @@ from .base import (
 )
 from .core import (
     check_domain,
+    check_labels,
     check_required,
     check_schema,
     check_unique,
@@ -29,6 +30,7 @@ __all__ = [
     "partition_row_counts",
     "shape_violations",
     "check_domain",
+    "check_labels",
     "check_required",
     "check_schema",
     "check_unique",

@@ -191,6 +191,45 @@ def check_domain(
 
 
 # ---------------------------------------------------------------------------
+# Secondary-label conformance
+# ---------------------------------------------------------------------------
+
+
+def check_labels(
+    df: DataFrame,
+    model: NodeModel,
+    labels_col: str = "labels",
+    part_col: Optional[str] = None,
+) -> CheckResult:
+    """Rows whose label set ≠ {primary} ∪ secondaries.
+
+    Replays the reference's unexpected-label warning on read-back
+    (``neo4jengine.py:77-80``), consuming ``NodeModel.all_labels``
+    (models.py). ``labels_col`` is an array<string> column (how a
+    graph-export table carries its label sets); comparison is order- and
+    NULL-safe: a NULL or missing-any-label set is a violation row.
+    """
+    expected = F.array(*[F.lit(x) for x in sorted(model.all_labels)])
+    bad = df.filter(~F.array_sort(F.col(labels_col)).eqNullSafe(expected))
+    vio = shape_violations(
+        bad,
+        check="label_conformance",
+        label=model.label,
+        part_col=part_col,
+        column=labels_col,
+        key=F.col(model.pp_storage).cast("string"),
+        detail=F.concat(
+            F.lit("unexpected label set: ["),
+            F.array_join(
+                F.coalesce(F.col(labels_col), F.array().cast("array<string>")), ","
+            ),
+            F.lit("]"),
+        ),
+    )
+    return CheckResult("label_conformance", model.label, vio)
+
+
+# ---------------------------------------------------------------------------
 # Uniqueness
 # ---------------------------------------------------------------------------
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .identifiers import check_identifier
 
-__all__ = ["compile_filters", "LOOKUPS", "FilterError"]
+__all__ = ["compile_filters", "LOOKUPS", "ACCESSORS", "FilterError"]
 
 
 class FilterError(ValueError):
@@ -92,6 +92,24 @@ LOOKUPS = {
     "isnull": _isnull,
 }
 
+# Temporal accessors — reference users project datetime components inside
+# Cypher (``n.test_created.year``, tests/test_basenode.py:391-415; SURVEY
+# §2.7). Django-style spelling: ``field__year`` (exact) or
+# ``field__year__gte`` (accessor then lookup). All compile to built-in
+# datetime Column functions — pushdown/codegen preserved.
+ACCESSORS = {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "date": lambda c: c.cast("date"),
+    "dayofweek": F.dayofweek,
+    "quarter": F.quarter,
+    "week": F.weekofyear,
+}
+
 
 def compile_filters(
     filters: Optional[Mapping[str, Any]],
@@ -107,16 +125,22 @@ def compile_filters(
         return None
     preds: list[Column] = []
     for key, value in filters.items():
-        field, sep, lookup = key.partition("__")
-        if not sep:
-            lookup = "exact"
+        field, sep, rest = key.partition("__")
         check_identifier(field, "filter field")
+        col_name = (rename or {}).get(field, field)
+        col = F.col(col_name)
+        lookup = rest if sep else "exact"
+        if sep and rest:
+            acc, sep2, rest2 = rest.partition("__")
+            if acc in ACCESSORS:
+                col = ACCESSORS[acc](col)
+                lookup = rest2 if sep2 else "exact"
         fn = LOOKUPS.get(lookup)
         if fn is None:
             raise FilterError(
                 f"unknown filter lookup {lookup!r} in {key!r}; "
-                f"supported: {sorted(LOOKUPS)}"
+                f"supported: {sorted(LOOKUPS)} "
+                f"(+ temporal accessors {sorted(ACCESSORS)})"
             )
-        col_name = (rename or {}).get(field, field)
-        preds.append(fn(F.col(col_name), value))
+        preds.append(fn(col, value))
     return functools.reduce(Column.__and__, preds)

@@ -273,6 +273,57 @@ class NodeModel:
             raise ModelError("primary property must be required (non-null)")
         self.secondary_labels = tuple(self.secondary_labels)
 
+    # -- registered related queries (reference basenode.py:20-78) ----------
+    # The reference attaches query methods to model classes via
+    # @related_nodes / @related_property and discovers them with
+    # get_related_node_methods (basenode.py:117-151). Spark analogue: named
+    # query functions registered on the model, each (tables, key, **kw) ->
+    # DataFrame; the "(#ThisNode)" template substitution becomes the
+    # explicit key argument.
+    def related_nodes(self, name: Optional[str] = None):
+        """Decorator registering a related-NODES query on this model."""
+
+        def deco(fn):
+            self._related_registry()[name or fn.__name__] = ("nodes", fn)
+            return fn
+
+        return deco
+
+    def related_property(self, name: Optional[str] = None):
+        """Decorator registering a related-PROPERTY (scalar aggregate)
+        query on this model (reference @related_property,
+        basenode.py:47-78)."""
+
+        def deco(fn):
+            self._related_registry()[name or fn.__name__] = ("property", fn)
+            return fn
+
+        return deco
+
+    def _related_registry(self) -> dict:
+        if not hasattr(self, "_related_queries"):
+            object.__setattr__(self, "_related_queries", {})
+        return self._related_queries
+
+    def get_related_node_methods(self) -> dict:
+        """Discovery: {name: fn} of registered related-nodes queries
+        (reference get_related_node_methods, basenode.py:117-151)."""
+        return {
+            k: fn for k, (kind, fn) in self._related_registry().items()
+            if kind == "nodes"
+        }
+
+    def get_related_property_methods(self) -> dict:
+        return {
+            k: fn for k, (kind, fn) in self._related_registry().items()
+            if kind == "property"
+        }
+
+    def run_related(self, name: str, *args, **kwargs):
+        """Execute a registered query by name (unknown name ⇒ KeyError,
+        matching attribute-lookup failure on the reference class)."""
+        return self._related_registry()[name][1](*args, **kwargs)
+
     # -- accessors ---------------------------------------------------------
     def prop(self, name: str) -> Property:
         for p in self.properties:

@@ -71,6 +71,27 @@ def delete_nodes(
     return post_nodes, post_edges
 
 
+def match_one(table: DataFrame, model: NodeModel, pp_value) -> Optional["object"]:
+    """F1 point lookup, first-or-None with the reference's multiplicity
+    warning: ``evaluate_query_single`` warns when more than one record
+    matches (``neo4jengine.py:267-283``, test
+    ``tests/test_graph_connection.py:58-72``). ``limit(2)`` bounds the read
+    to what the multiplicity decision needs."""
+    import warnings
+
+    rows = (
+        table.filter(F.col(model.pp_storage) == F.lit(pp_value)).limit(2).collect()
+    )
+    if len(rows) > 1:
+        warnings.warn(
+            f"Multiple {model.label} nodes matched "
+            f"{model.primary_property}={pp_value!r}; returning the first "
+            "(reference evaluate_query_single warning)",
+            stacklevel=2,
+        )
+    return rows[0] if rows else None
+
+
 def match_nodes(
     table: DataFrame,
     model: NodeModel,

@@ -99,3 +99,29 @@ def test_pushdown_reaches_scan(spark, tmp_path):
     pred = compile_filters({"price__gt": 0.5})
     plan = df.filter(pred)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(price" in plan
+
+
+def test_temporal_accessors(spark):
+    """field__year / field__month__in / field__day__lte — reference
+    datetime-component access (tests/test_basenode.py:391-415)."""
+    import datetime
+
+    rows = [
+        Row(id="e1", created=datetime.datetime(2022, 5, 4, 3, 21)),
+        Row(id="e2", created=datetime.datetime(2022, 7, 9, 18, 0)),
+        Row(id="e3", created=datetime.datetime(2023, 5, 4, 3, 21)),
+        Row(id="e4", created=None),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def ids(filters):
+        return sorted(r["id"] for r in df.filter(compile_filters(filters)).collect())
+
+    assert ids({"created__year": 2022}) == ["e1", "e2"]
+    assert ids({"created__year": 2022, "created__month__gte": 6}) == ["e2"]
+    assert ids({"created__month__in": [5]}) == ["e1", "e3"]
+    assert ids({"created__day__lte": 4, "created__hour": 3}) == ["e1", "e3"]
+    assert ids({"created__date": datetime.date(2023, 5, 4)}) == ["e3"]
+    # accessor with unknown trailing lookup still raises
+    with pytest.raises(FilterError):
+        compile_filters({"created__year__regex": ".*"})

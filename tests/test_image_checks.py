@@ -229,3 +229,31 @@ def test_payload_direct_read_parity(spark, images, tmp_path_factory):
     a = {(r["key"], r["detail"]) for r in check_payload(stored).collect()}
     d = {(r["key"], r["detail"]) for r in check_payload_files(spark, path).collect()}
     assert a == d and len(a) > 0
+
+
+def test_label_conformance(spark, images, model):
+    """Secondary-label conformance (reference neo4jengine.py:77-80 warns on
+    unexpected read-back label sets; consumes NodeModel.all_labels)."""
+    from neontology_spark.checks import check_labels
+    from neontology_spark.models import NodeModel, Property
+
+    m = NodeModel(
+        label="Image",
+        primary_property="image_id",
+        properties=[Property("image_id", str)],
+        secondary_labels=("Asset",),
+    )
+    expected = F.array(F.lit("Image"), F.lit("Asset"))
+    df = images.limit(10).withColumn("labels", expected)
+    # order-insensitive: reversed order conforms
+    ok = df.withColumn("labels", F.array(F.lit("Asset"), F.lit("Image")))
+    assert check_labels(ok, m).violations.count() == 0
+    # wrong/extra/NULL label sets are violations
+    bad = (
+        df.limit(3).withColumn("labels", F.array(F.lit("Image")))
+        .unionByName(df.limit(2).withColumn("labels", F.lit(None).cast("array<string>")))
+    )
+    rows = check_labels(bad, m).violations.collect()
+    assert len(rows) == 5
+    assert all(r["check"] == "label_conformance" for r in rows)
+    assert any("unexpected label set: []" in r["detail"] for r in rows)

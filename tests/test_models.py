@@ -190,3 +190,36 @@ def test_constraint_management():
     assert cat.get_constraints() == []
     with pytest.raises(ValueError):
         cat.drop_constraint("nope")
+
+
+def test_related_query_registration(spark):
+    """@related_nodes / @related_property analogue: named query functions
+    registered on the model, discovered, and runnable
+    (reference basenode.py:20-78, 117-151)."""
+    from pyspark.sql import functions as F
+
+    m = NodeModel(
+        label="PersonR",
+        primary_property="name",
+        properties=[Property("name", str)],
+    )
+
+    @m.related_nodes()
+    def followers(edges, key):
+        return edges.filter(F.col("target") == key).select("source")
+
+    @m.related_property("follower_count")
+    def _count(edges, key):
+        return edges.filter(F.col("target") == key).count()
+
+    assert set(m.get_related_node_methods()) == {"followers"}
+    assert set(m.get_related_property_methods()) == {"follower_count"}
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b", "a")], "source string, target string"
+    )
+    got = sorted(r["source"] for r in m.run_related("followers", edges, "b").collect())
+    assert got == ["a", "c"]
+    assert m.run_related("follower_count", edges, "b") == 2
+    with pytest.raises(KeyError):
+        m.run_related("nope", edges, "b")

@@ -73,3 +73,23 @@ def test_match_relationships_drops_orphan_edges(spark, setup):
     )
     out = match_relationships(edges, rel, people, teams, person, team)
     assert out.count() == 1  # J6: rel without endpoints dropped
+
+
+def test_match_one_first_or_none_with_multiplicity_warning(spark, setup):
+    """F1 first-or-None + the reference's >1-result warning
+    (neo4jengine.py:267-283, tests/test_graph_connection.py:58-72)."""
+    import warnings
+
+    from neontology_spark.nodes import create_nodes, match_one
+
+    person, team, rel, people, teams, edges = setup
+    assert match_one(people, person, "nobody") is None
+    row = match_one(people, person, "alice")
+    assert row is not None and row["name"] == "alice"
+    # duplicate pp: CREATE allows it; match_one returns first and WARNS
+    dup = create_nodes(people, people.filter(people["name"] == "alice"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        row = match_one(dup, person, "alice")
+        assert row is not None and row["name"] == "alice"
+        assert any("Multiple" in str(x.message) for x in w)
