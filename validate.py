@@ -77,15 +77,21 @@ def main() -> int:
     table = spark.read.parquet(args.table)
     model = image_model()
 
+    # partition-local checks run over the pruned pending-partition scan;
+    # uniqueness is GLOBAL (a duplicate straddling a completed and a
+    # pending partition must still be found on resume) so it scans the
+    # full table with output restricted to pending partitions
     checks = [
+        functools.partial(check_required, model=model, part_col=args.part_col),
+        functools.partial(check_domain, model=model, part_col=args.part_col),
+        lambda df: CheckResult("payload_invariants", "Image", check_payload(df)),
+    ]
+    global_checks = [
         functools.partial(check_unique, model=model, part_col=args.part_col),
         functools.partial(
             check_unique, model=model, column="phash", part_col=args.part_col,
             salted=True, check_name="unique__phash",
         ),
-        functools.partial(check_required, model=model, part_col=args.part_col),
-        functools.partial(check_domain, model=model, part_col=args.part_col),
-        lambda df: CheckResult("payload_invariants", "Image", check_payload(df)),
     ]
     if args.baseline:
         baseline = spark.read.parquet(args.baseline)
@@ -108,6 +114,7 @@ def main() -> int:
         label="Image",
         part_col=args.part_col,
         checks=checks,
+        global_checks=global_checks,
         store=AuditStore(spark, args.audit),
         run_id=args.run_id,
         metrics_fn=lambda df: column_stats(
