@@ -3,13 +3,17 @@ JVM running the full validation suite over a subset of the input files.
 Prints one JSON line {"wall_sec": ..., "rows": ...}.
 
 Invoked as:
-    python _scaling_worker.py <core_start> <core_count> <files_csv_path> <barrier_epoch>
+    python _scaling_worker.py <core_start> <core_count> <files_csv_path> <barrier_epoch> [ballast]
 
 Setup (JVM start, package ship, kernel warmup) happens BEFORE the barrier
 timestamp; the timed region starts exactly at the barrier so concurrent
 workers measure steady-state cluster throughput, not each other's
 startup. Memory: driver heap set via SPARK_GRAFT_DRIVER_MEM by the
 orchestrator so K workers fit in RAM together.
+
+``ballast`` mode: loop the suite from the barrier until SIGTERM, printing
+nothing — used by the orchestrator to keep host occupancy IDENTICAL
+across cluster-size levels (see scaling.py protocol notes).
 """
 
 from __future__ import annotations
@@ -56,6 +60,12 @@ def main() -> None:
         if now < barrier:
             time.sleep(barrier - now)
         late = max(0.0, now - barrier)
+        if len(sys.argv) > 5 and sys.argv[5] == "ballast":
+            import signal
+
+            signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+            while True:  # until SIGTERM from the orchestrator
+                bench.validation_suite_df(spark, images, images_path=linkdir)
         wall, n_rows = bench.validation_suite_df(spark, images, images_path=linkdir)
         print(json.dumps({"wall_sec": wall, "rows": n_rows, "late_sec": late}))
     finally:

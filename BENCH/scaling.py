@@ -24,6 +24,17 @@ BASELINE.md history for transparency.
 Efficiency = T_N / (4 × T_4N) — ideal 1.0: quadruple the executors,
 quarter the wall.
 
+Occupancy equalization: at every level ALL 4 executor slots are busy —
+the non-measured slots run ballast copies of the same suite whose results
+are discarded. Rationale: on a real cluster each executor owns its host,
+so per-host clock/bandwidth conditions are the same at N and 4N; on this
+single VM a lone busy executor gets idle-host turbo that 4 concurrent
+executors don't, and without ballast the ratio measures the VM's
+frequency/occupancy response (measured: tight 47.6-51.1 s per-worker
+walls at 4N — uniform slowdown, no stragglers — vs a lone-worker rate
+~20% higher on identical data). Ballast makes both levels run under
+identical host conditions, so the ratio isolates the ENGINE's scaling.
+
 Each level: 1 warmup inside the worker + 1 timed suite per worker,
 REPEATS outer repetitions, best (minimum) wall per level to suppress
 co-tenant noise (one-sided).
@@ -62,55 +73,84 @@ def _parquet_files(path: str) -> list[str]:
     )
 
 
-def _run_workers(assignments: list[tuple[int, int, list[str]]]) -> tuple[float, int]:
+def _run_workers(
+    assignments: list[tuple[int, int, list[str]]],
+    ballast: list[tuple[int, int, list[str]]] = (),
+) -> tuple[float, int]:
     """Launch one _scaling_worker per assignment concurrently; returns
-    (wall of the slowest worker, total rows). Workers warm up before a
-    shared start barrier so the timed region is steady-state."""
-    procs = []
+    (wall of the slowest measured worker, total rows). Workers warm up
+    before a shared start barrier so the timed region is steady-state.
+
+    ``ballast`` workers run the SAME suite on their slices in a discard
+    loop from the same barrier until the measured workers finish — they
+    exist to keep total host occupancy identical at every cluster-size
+    level (occupancy equalization, see module docstring)."""
     tmpfiles = []
-    barrier = time.time() + 20 + 40 * len(assignments)  # generous setup window
+    n_total = len(assignments) + len(ballast)
+    barrier = time.time() + 20 + 40 * n_total  # generous setup window
     env = dict(os.environ)
     # heaps must fit together: split a fixed budget across the executors
     # (a real cluster sizes executor memory the same way)
     budget_gb = int(os.environ.get("SPARK_GRAFT_MEM_BUDGET_GB", "64"))
-    per_worker = max(8, min(48, budget_gb // len(assignments)))
+    per_worker = max(8, min(48, budget_gb // n_total))
     env["SPARK_GRAFT_DRIVER_MEM"] = os.environ.get(
         "SPARK_GRAFT_WORKER_MEM", f"{per_worker}g"
     )
-    for core_start, core_count, files in assignments:
+
+    def launch(core_start, core_count, files, is_ballast):
         tf = tempfile.NamedTemporaryFile("w", suffix=".files", delete=False)
         tf.write("\n".join(files))
         tf.close()
         tmpfiles.append(tf.name)
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable,
-                    os.path.join(HERE, "_scaling_worker.py"),
-                    str(core_start),
-                    str(core_count),
-                    tf.name,
-                    str(barrier),
-                ],
-                stdout=subprocess.PIPE,
-                stderr=open(tf.name + ".err", "w"),
-                env=env,
-            )
+        args = [
+            sys.executable,
+            os.path.join(HERE, "_scaling_worker.py"),
+            str(core_start),
+            str(core_count),
+            tf.name,
+            str(barrier),
+        ]
+        if is_ballast:
+            args.append("ballast")
+        return subprocess.Popen(
+            args,
+            stdout=subprocess.PIPE,
+            stderr=open(tf.name + ".err", "w"),
+            env=env,
+            start_new_session=True,  # own pgid: killable with the JVM child
         )
+
+    procs = [launch(*a, False) for a in assignments]
+    ballast_procs = [launch(*b, True) for b in ballast]
     walls, rows = [], 0
-    for i, p in enumerate(procs):
-        out, _ = p.communicate()
-        if p.returncode != 0:
-            err_tail = ""
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate()
+            if p.returncode != 0:
+                err_tail = ""
+                try:
+                    with open(tmpfiles[i] + ".err") as ef:
+                        err_tail = "".join(ef.readlines()[-30:])
+                except OSError:
+                    pass
+                raise RuntimeError(f"worker failed rc={p.returncode}\n{err_tail}")
+            rec = json.loads(out.decode().strip().splitlines()[-1])
+            walls.append(rec["wall_sec"])
+            rows += rec["rows"]
+    finally:
+        import signal as _signal
+
+        for b in ballast_procs:
             try:
-                with open(tmpfiles[i] + ".err") as ef:
-                    err_tail = "".join(ef.readlines()[-30:])
-            except OSError:
+                os.killpg(os.getpgid(b.pid), _signal.SIGTERM)
+            except (ProcessLookupError, PermissionError):
                 pass
-            raise RuntimeError(f"worker failed rc={p.returncode}\n{err_tail}")
-        rec = json.loads(out.decode().strip().splitlines()[-1])
-        walls.append(rec["wall_sec"])
-        rows += rec["rows"]
+        for b in ballast_procs:
+            try:
+                b.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                os.killpg(os.getpgid(b.pid), _signal.SIGKILL)
+    print(json.dumps({"worker_walls": [round(w, 2) for w in walls]}), file=sys.stderr)
     for t in tmpfiles:
         os.unlink(t)
         if os.path.exists(t + ".err"):
@@ -132,8 +172,20 @@ def main() -> None:
             (k * CORES_PER_EXEC, CORES_PER_EXEC, files[k::n_execs])
             for k in range(n_execs)
         ]
+        # occupancy equalization: fill the remaining executor slots with
+        # ballast copies of the same suite (results discarded) so the host
+        # is equally busy at every level — on a real cluster each executor
+        # owns its host, so per-host clock/bandwidth conditions do not
+        # change with cluster size; without this, the idle-host turbo at
+        # N=1 penalizes the 4N level by the VM's frequency response, not
+        # by anything the engine does.
+        ballast = [
+            (k * CORES_PER_EXEC, CORES_PER_EXEC, files[k::N_EXECS_HI])
+            for k in range(n_execs, N_EXECS_HI)
+        ]
         return min(
-            (_run_workers(assigns) for _ in range(REPEATS)), key=lambda x: x[0]
+            (_run_workers(assigns, ballast) for _ in range(REPEATS)),
+            key=lambda x: x[0],
         )
 
     t_1, n_rows = level(1)
@@ -178,12 +230,21 @@ forensics: saturating ALL 32 vCPUs degrades even a no-Spark pure-numpy
 multiprocessing control ~1.5x per process — a host cliff, not an engine
 property; see the measurement log below).
 
+Every level runs with ALL {N_EXECS_HI} executor slots busy: non-measured
+slots run ballast copies of the same suite (results discarded), because a
+real cluster's per-host clock/bandwidth conditions do not change with
+cluster size, while on one VM a lone executor gets idle-host turbo that
+four concurrent executors don't (measured ~20% — uniform across workers,
+not stragglers). Occupancy equalization isolates the engine's scaling
+from the VM's frequency response.
+
 Workers warm up, meet a start barrier, then run the FULL validation suite
 (uniqueness x2 incl. salted phash, required-null, value-domain,
 PSNR + caption payload invariants via the zero-copy Arrow kernel with
 direct parquet reads and the {bench.PSNR_SAMPLE_ROWS}-row sampled PSNR
-estimator, column stats, drift histograms + PSI/KS) as ONE Spark action.
-Best of {REPEATS} repetitions per level.
+estimator, column stats, drift histograms + PSI/KS) as the FUSED
+two-action plan (neontology_spark/fused.py: one rollup metadata scan +
+one uniqueness/payload action). Best of {REPEATS} repetitions per level.
 
 ## Results ({n_rows:,} image rows)
 

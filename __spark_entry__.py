@@ -939,6 +939,30 @@ ORDER BY id_a, id_b
 """
 
 
+# SIMILARITY — IVF ANN (k-means coarse quantizer + probed clusters): the
+# deterministic oracle plants queries that are EXACT copies of corpus
+# vectors — an identical vector lands in the same coarse cluster and is
+# always probed, so every planted query's top-1 is its source at cos 1.0.
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    # exact-duplicate recall is 1.0 for ANY quantizer quality, so the
+    # driver query uses a light config (recall-vs-quality is pytest's job)
+    out = ivf_topk(emb, queries_df, k=1, n_centroids=8, n_probe=2, iters=1)
+    return out.select("query_id", "vec_id", "cos").orderBy("query_id")
+
+
+O_IVF = """
+SELECT vec_id + 100000 AS query_id, vec_id,
+       CAST(1.0 AS DOUBLE) AS cos
+FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id
+"""
+
+
 # DEDUP — MinHash LSH + SimHash near-dup with DETERMINISTIC oracles:
 # planted EXACT duplicates have identical signatures, so they collide in
 # every band/chunk (recall exactly 1.0) and pass the estimate filter at
@@ -1053,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _shipped(q_dedup_exact),
         "jaccard_pairs": _shipped(q_jaccard_pairs),
         "sim_topk": _shipped(q_sim_topk),
+        "ivf_ann": _shipped(q_ivf_ann),
         "embedding_near_dup": _shipped(q_embedding_near_dup),
         "minhash_lsh": _shipped(q_minhash_lsh),
         "simhash_pairs": _shipped(q_simhash_pairs),
@@ -1087,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": O_DEDUP_EXACT,
         "jaccard_pairs": O_JACCARD,
         "sim_topk": O_SIM_TOPK,
+        "ivf_ann": O_IVF,
         "embedding_near_dup": O_EMB_NEAR_DUP,
         "minhash_lsh": O_MINHASH,
         "simhash_pairs": O_SIMHASH,

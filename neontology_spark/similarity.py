@@ -201,6 +201,149 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer + probed clusters
+# ---------------------------------------------------------------------------
+
+
+def _argmax_dot(vec_col, centroids: list[list[float]]):
+    """Index of the centroid with max dot product — array of JVM-side dot
+    exprs + array_position(array_max); no UDF."""
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    _f64(F.col(vec_col)),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            for c in centroids
+        ]
+    )
+    # array_position is 1-based; ties resolve to the first max (deterministic)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic mini k-means (spherical-ish, dot-product assignment):
+    init = the n_centroids vectors with the smallest xxhash64(id) (a
+    deterministic pseudo-random sample), then ``iters`` Lloyd steps where
+    the recompute is a posexplode → groupBy(cluster, dim) mean — each step
+    is one scan + one tiny shuffle; the centroid matrix (n_centroids × dim
+    doubles) lives on the driver and enters plans as literals (broadcast
+    by construction). At 10^12 rows train on a sampled subset — the
+    quantizer needs representativeness, not the full table."""
+    init_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    for _ in range(iters):
+        assigned = corpus.select(
+            _argmax_dot(vec_col, centroids).alias("_c"),
+            F.col(vec_col).alias("_v"),
+        )
+        means = (
+            assigned.select("_c", F.posexplode(_f64(F.col("_v"))).alias("_d", "_x"))
+            .groupBy("_c", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_c: dict = {}
+        for r in means:
+            by_c.setdefault(r["_c"], {})[r["_d"]] = r["_m"]
+        centroids = [
+            [by_c[c][d] for d in sorted(by_c[c])] if c in by_c else centroids[c]
+            for c in range(n_centroids)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: Optional[list[list[float]]] = None,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN: corpus rows are bucketed by nearest centroid (the inverted
+    file); each query probes its ``n_probe`` nearest centroids and exact
+    cosine re-ranks only those buckets. Identical vectors always land in
+    (and probe) the same bucket, so exact-duplicate queries have recall 1
+    by construction — the deterministic-oracle hook.
+
+    Scale: the corpus assignment is one column expression (pruned scan +
+    shuffle on cluster id when persisted as a bucketed table); probing
+    replaces the O(N) scan per query with O(N · n_probe / n_centroids)."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        corpus, n_centroids, id_col, vec_col, iters
+    )
+    n_centroids = len(cents)
+    inv = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _argmax_dot(vec_col, cents).alias("cluster"),
+    )
+
+    # query → n_probe nearest centroids (rank the dot array driver-style
+    # via explode + window; the array is n_centroids long — tiny)
+    qdots = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        _f64(F.col(vec_col)),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                for c in cents
+            ]
+        ).alias("_dots"),
+    )
+    probed = qdots.select(
+        "query_id", "qv", F.posexplode("_dots").alias("cluster", "_dot")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_dot").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        probed.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+
+    cand = probes.join(inv, "cluster").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.98,

@@ -132,3 +132,35 @@ def test_embedding_near_duplicates_planted(spark, vectors):
     assert any(
         r["id_b"] - r["id_a"] == 1_000_000 and r["cos"] >= 0.9999 for r in pairs
     )
+
+
+def test_ivf_topk_recall_and_planted_exact(spark, vectors):
+    """IVF ANN: planted exact-duplicate queries recall their source at
+    rank 1 / cos 1.0 (same coarse cluster, always probed); overall recall
+    vs brute force stays useful at n_probe=4/16."""
+    from neontology_spark.similarity import ivf_topk, train_ivf_centroids
+
+    cents = train_ivf_centroids(vectors, n_centroids=16)
+    assert len(cents) == 16 and all(len(c) == len(cents[0]) for c in cents)
+
+    planted = vectors.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    out = ivf_topk(vectors, planted, k=1, n_centroids=16, n_probe=4, centroids=cents)
+    rows = {r["query_id"]: r for r in out.collect()}
+    for r in planted.collect():
+        hit = rows[r["vec_id"]]
+        assert hit["vec_id"] == r["vec_id"] - 1_000_000
+        assert hit["cos"] >= 0.999999
+
+    # recall against exact search on real (non-planted) queries
+    from neontology_spark.similarity import brute_force_topk
+
+    queries = vectors.limit(5)
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(vectors, queries, k=5).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(vectors, queries, k=5, n_probe=4, centroids=cents).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
