@@ -660,6 +660,66 @@ FROM cdf GROUP BY part_year ORDER BY part_year
 """
 
 
+# DRIFT — categorical histogram variant (fmt-style value domains): PSI+KS
+# per partition over value buckets (checks/drift.categorical_histogram)
+def q_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.checks.drift import categorical_histogram, drift_metrics
+
+    orders = _t(spark, sf_dir, "orders")
+    baseline = orders.filter(F.year("o_orderdate") == 1995)
+    current = orders.withColumn("part_year", F.year("o_orderdate").cast("long"))
+    m = drift_metrics(
+        categorical_histogram(baseline, "o_orderpriority"),
+        categorical_histogram(current, "o_orderpriority", part_col="part_year"),
+    )
+    return m.select(
+        F.col("part").alias("part_year"),
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+    ).orderBy("part_year")
+
+
+O_DRIFT_CAT = """
+WITH bucketed AS (
+  SELECT year(o_orderdate) AS part_year,
+         COALESCE(o_orderpriority, '<null>') AS bucket
+  FROM orders
+),
+base AS (
+  SELECT bucket, count(*)::DOUBLE /
+         (SELECT count(*) FROM bucketed WHERE part_year = 1995) AS p_base
+  FROM bucketed WHERE part_year = 1995 GROUP BY bucket
+),
+cur AS (
+  SELECT part_year, bucket,
+         count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY part_year) AS p_cur
+  FROM bucketed GROUP BY part_year, bucket
+),
+grid AS (
+  SELECT py.part_year, b.bucket, b.p_base
+  FROM (SELECT DISTINCT part_year FROM cur) py CROSS JOIN base b
+),
+joined AS (
+  SELECT COALESCE(g.part_year, c.part_year) AS part_year,
+         COALESCE(g.bucket, c.bucket) AS bucket,
+         COALESCE(c.p_cur, 0.0) AS p_cur,
+         COALESCE(g.p_base, 0.0) AS p_base
+  FROM grid g FULL OUTER JOIN cur c
+    ON g.part_year = c.part_year AND g.bucket = c.bucket
+),
+cdf AS (
+  SELECT part_year,
+         (p_cur - p_base) * ln((p_cur + 1e-6) / (p_base + 1e-6)) AS psi_term,
+         sum(p_cur) OVER (PARTITION BY part_year ORDER BY bucket) AS cdf_cur,
+         sum(p_base) OVER (PARTITION BY part_year ORDER BY bucket) AS cdf_base
+  FROM joined
+)
+SELECT part_year, round(sum(psi_term), 6) AS psi,
+       round(max(abs(cdf_cur - cdf_base)), 6) AS ks
+FROM cdf GROUP BY part_year ORDER BY part_year
+"""
+
+
 # F2c — datetime lookups through the filter DSL, timestamps in the output
 # (session TZ pinned UTC for oracle parity)
 def q_f2_filter_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_column_stats": _shipped(q_a6_column_stats),
         "drift_histogram": _shipped(q_drift_histogram),
         "drift_psi_ks": _shipped(q_drift_psi_ks),
+        "drift_categorical": _shipped(q_drift_categorical),
         "merge_upsert": _shipped(q_merge_upsert),
         "s4_merge_relationships": _shipped(q_s4_merge_relationships),
         "j5_traverse_depth": _shipped(q_j5_traverse_depth),
@@ -1101,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "a6_column_stats": O_A6,
         "drift_histogram": O_DRIFT_HIST,
         "drift_psi_ks": O_DRIFT_PSI,
+        "drift_categorical": O_DRIFT_CAT,
         "merge_upsert": O_MERGE,
         "s4_merge_relationships": O_S4,
         "j5_traverse_depth": O_J5_DEPTH,

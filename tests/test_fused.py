@@ -83,3 +83,24 @@ def test_fused_required_excludes_bytes_by_design(spark, images):
         spark, broken, model, stat_cols=STAT_COLS, hist_col="w", edges=EDGES
     )
     assert got["per_check"]["payload_invariants"] >= 1
+
+
+def test_fused_rollup_plan_shape(spark, images, tmp_path_factory):
+    """The fused metadata scan must (a) never read the payload column and
+    (b) aggregate all grouping levels in one pass — at 100 TB the rollup
+    is one column-pruned scan + one shuffle, not one scan per check."""
+    from neontology_spark.fused import metadata_rollup
+    from neontology_spark.images import image_model
+
+    path = str(tmp_path_factory.mktemp("fp") / "img.parquet")
+    images.write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = (
+        metadata_rollup(stored, image_model(), STAT_COLS, "w", EDGES)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # column pruning: the scan's ReadSchema excludes bytes
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("bytes" not in ln for ln in read_schema)
+    # exactly one scan of the table feeds the whole rollup
+    assert plan.count("FileScan parquet") == 1
