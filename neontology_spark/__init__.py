@@ -26,6 +26,7 @@ from . import (  # noqa: F401  (public module surface)
     checks,
     dedup,
     filters,
+    fused,
     images,
     models,
     multimodal,
