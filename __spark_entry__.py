@@ -861,6 +861,64 @@ FROM documents ORDER BY doc_id
 """
 
 
+# TEXT — language-ID (stopword-marker heuristic, argmax over per-language
+# scores with Spark's struct-max tie-break) + composite quality score
+# (textops.detect_language / quality_score; SURVEY "text analysis" family)
+def q_text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark import textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.detect_language("text").alias("lang_detected"),
+        F.round(textops.stopword_ratio("text"), 6).alias("en_stopword_ratio"),
+        F.round(textops.mean_word_length("text"), 6).alias("mean_word_len"),
+        F.round(textops.quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+O_TEXT_LANG = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, len(toks) AS n_tok,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','eine','zu','mit'], lower(x))))::DOUBLE
+      / greatest(len(toks), 1) AS sc_de,
+    len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','a','in','is','it','that','was'], lower(x))))::DOUBLE
+      / greatest(len(toks), 1) AS sc_en,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','los','y','es','una','un','en','que','por'], lower(x))))::DOUBLE
+      / greatest(len(toks), 1) AS sc_es,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','et','est','une','un','dans','que','pour'], lower(x))))::DOUBLE
+      / greatest(len(toks), 1) AS sc_fr,
+    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+      / greatest(len(toks), 1) AS mwl,
+    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+      / greatest(length(text), 1) AS pr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(sc_de, sc_en, sc_es, sc_fr) < 0.05 THEN 'und'
+       WHEN sc_fr = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'fr'
+       WHEN sc_es = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'es'
+       WHEN sc_en = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'en'
+       ELSE 'de' END AS lang_detected,
+  round(sc_en, 6) AS en_stopword_ratio,
+  round(mwl, 6) AS mean_word_len,
+  round(0.3::DOUBLE * (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END)
+      + 0.25::DOUBLE * (CASE WHEN pr < 0.2 THEN 1.0::DOUBLE ELSE 0.4::DOUBLE END)
+      + 0.25::DOUBLE * (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+      + 0.2::DOUBLE * (CASE WHEN sc_en > 0.02 THEN 1.0::DOUBLE ELSE 0.6::DOUBLE END), 6) AS quality
+FROM r ORDER BY doc_id
+"""
+
+
 # DEDUP — exact duplicate groups (deterministically planted duplicates)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neontology_spark.dedup import exact_duplicate_groups
@@ -1135,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_create_append": _shipped(q_s1_create_append),
         "s3_detach_delete": _shipped(q_s3_detach_delete),
         "text_profile": _shipped(q_text_profile),
+        "text_langid_quality": _shipped(q_text_langid_quality),
         "dedup_exact": _shipped(q_dedup_exact),
         "jaccard_pairs": _shipped(q_jaccard_pairs),
         "sim_topk": _shipped(q_sim_topk),
@@ -1171,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_create_append": O_S1,
         "s3_detach_delete": O_S3,
         "text_profile": O_TEXT_PROFILE,
+        "text_langid_quality": O_TEXT_LANG,
         "dedup_exact": O_DEDUP_EXACT,
         "jaccard_pairs": O_JACCARD,
         "sim_topk": O_SIM_TOPK,
