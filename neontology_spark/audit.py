@@ -143,7 +143,12 @@ class ValidationRun:
     def run(self, resume: bool = True) -> DataFrame:
         from .checks.base import CheckResult, partition_row_counts
 
-        pending = sorted(self.pending_parts(resume))
+        all_parts = self.all_parts()
+        completed = (
+            self.store.completed_parts(self.run_id, self.label) if resume else set()
+        )
+        pending = sorted(all_parts - completed)
+        has_completed = bool(all_parts & completed)
         if not pending:
             from .checks.base import VERDICT_SCHEMA
 
@@ -173,11 +178,37 @@ class ValidationRun:
             # missed on resume); output restricted to pending partitions —
             # part=NULL (global-sentinel) violations are always kept.
             res = check(self.table)
-            pending_only = res.violations.filter(
-                F.col("part").isNull()
-                | F.col("part").isin([int(p) for p in pending])
+            pending_pred = F.col("part").isNull() | F.col("part").isin(
+                [int(p) for p in pending]
             )
-            accumulate(CheckResult(res.check, res.label, pending_only))
+            pending_v = res.violations.filter(pending_pred)
+            if has_completed:
+                # cross-partition groups (ADVICE r2): a completed-side
+                # member of a violation group whose pending-side member the
+                # scan just found would otherwise be silently dropped — the
+                # earlier run could not have recorded it (the pending data
+                # did not exist yet). Re-emit those members, tagged, so dup
+                # groups are complete without re-emitting every completed-
+                # part violation. Keyed on (check, key) — the group
+                # identity every cross-partition check (uniqueness) uses.
+                pend_keys = (
+                    pending_v.filter(F.col("key").isNotNull())
+                    .select("check", "key")
+                    .dropDuplicates()
+                )
+                late = (
+                    res.violations.filter(~pending_pred)
+                    .join(F.broadcast(pend_keys), ["check", "key"], "left_semi")
+                    .withColumn(
+                        "detail",
+                        F.concat(
+                            F.coalesce(F.col("detail"), F.lit("")),
+                            F.lit(" [late: cross-partition member from completed part]"),
+                        ),
+                    )
+                )
+                pending_v = pending_v.unionByName(late.select(*pending_v.columns))
+            accumulate(CheckResult(res.check, res.label, pending_v))
 
         run_tag = F.lit(self.run_id).alias("run_id")
         self.store.append("violations", violations.select(run_tag, "*"))

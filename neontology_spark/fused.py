@@ -125,7 +125,18 @@ def fused_validation_summary(
     """Run the fused suite; returns
     ``{"violations": (total, n_checks_fired), "stats": (n_stat_rows,
     total_nulls), "drift": (n_metric_rows, psi_sum), "rows": (n_rows,
-    n_parts)}`` — the same summary the per-check bench suite computes."""
+    n_parts), "per_check": {...}, "required_excludes": ("bytes",)}`` —
+    the same summary the per-check bench suite computes.
+
+    PARITY CAVEAT (ADVICE r2, by design): ``per_check["required_not_null"]``
+    EXCLUDES the ``bytes`` payload column — the metadata rollup scan must
+    not touch payload IO, and a NULL payload already fails
+    ``payload_invariants`` (decode_ok=False), so no violation is lost;
+    it is *attributed* to payload_invariants instead. On tables with NULL
+    payloads the fused and per-check required_not_null counts therefore
+    diverge by exactly the NULL-bytes rows; ``required_excludes`` in the
+    returned dict records which columns were excluded so callers comparing
+    the two summaries can reconcile."""
     from .images import check_payload, check_payload_files
 
     rollup_rows = metadata_rollup(
@@ -213,4 +224,10 @@ def fused_validation_summary(
         "drift": (n_parts, psi_sum),
         "rows": (n_rows, n_parts),
         "per_check": per_check,
+        # columns omitted from the metadata scan's required-null counts
+        # (payload-IO avoidance; NULL payloads surface under
+        # payload_invariants instead — see docstring)
+        "required_excludes": tuple(
+            c for c in model.required_columns() if c == "bytes"
+        ),
     }

@@ -406,9 +406,29 @@ def _score_record_batch_sampled(batch, sample_rows: int, only_violations: bool =
     blob = cols["bytes"].combine_chunks() if isinstance(cols["bytes"], pa.ChunkedArray) else cols["bytes"]
     n = len(blob)
     _, off_buf, data_buf = blob.buffers()
+    if n == 0 or off_buf is None:
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([], batch.schema.field("part").type),
+                pa.array([], batch.schema.field("image_id").type),
+                pa.array([], pa.float64()),
+                pa.array([], pa.bool_()),
+                pa.array([], pa.bool_()),
+            ],
+            names=["part", "image_id", "psnr", "decode_ok", "caption_ok"],
+        )
     off_dtype = np.int64 if pa.types.is_large_binary(blob.type) else np.int32
     offs = np.frombuffer(off_buf, dtype=off_dtype, count=n + 1, offset=blob.offset * off_dtype().itemsize)
-    data = np.frombuffer(data_buf, dtype=np.uint8)
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    if len(data) == 0:
+        # all blobs NULL/zero-length (ADVICE r2): a real data buffer may be
+        # absent entirely; keep the clipped gathers well-defined with one
+        # dummy byte — every row still fails blob_len >= hdr and masks out
+        data = np.zeros(1, dtype=np.uint8)
 
     ids_arr = cols["image_id"]
     ids = pc.utf8_slice_codeunits(ids_arr, 4).cast(pa.int64())

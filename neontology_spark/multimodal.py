@@ -2,10 +2,12 @@
 columns with typed metadata, processed by Arrow-batched kernels
 (``mapInPandas``) — decode, feature-extract, resize, frame-sample.
 
-The container has no imaging/audio libraries, so the *codecs* are
-deterministic fakes (the same self-describing format as images.py for
-stills, a multi-frame variant for video, NotImplementedError for audio) —
-per the task brief the Spark-side plumbing (schemas, partitioning, UDF
+The container has no imaging/audio codec libraries, so the image/video
+*codecs* are deterministic fakes (the same self-describing format as
+images.py for stills, a multi-frame variant for video); audio decode is
+REAL for uncompressed WAV/PCM (stdlib ``wave`` + numpy — no codec library
+needed), with NotImplementedError only for compressed formats. Per the
+task brief the Spark-side plumbing (schemas, partitioning, UDF
 signatures, Arrow batch shapes, column pruning) is the real deliverable
 and is fully tested. Swapping a real decoder in changes one private
 function per modality, never a plan.
@@ -56,17 +58,56 @@ def decode_video(b: bytes):
     return body.reshape(n, h, w)
 
 
-def _decode_audio(b: bytes):
-    """Audio decode stub — no audio codec in this container.
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode float32 PCM in [-1, 1) — shape (n_samples,) or
+    (n_samples, channels) — as 16-bit PCM WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
 
-    Plumbing contract (real once a codec lands): input bytes → (sample
-    rate:int, channels:int, pcm float32 ndarray). The Spark-side schema
-    for features is already defined in ``audio_features``.
-    """
-    raise NotImplementedError(
-        "audio decoding requires an audio codec library not present in "
-        "this environment; the Spark plumbing (schema/batching) is real"
-    )
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    i16 = np.clip(pcm * 32768.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(pcm.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(i16.tobytes())
+    return buf.getvalue()
+
+
+def _decode_audio(b: bytes):
+    """WAV/PCM decode via stdlib ``wave`` + numpy (VERDICT r2 #6 — no
+    codec library needed for uncompressed WAV). Returns
+    (sample_rate:int, channels:int, pcm float32 (n_samples, channels) in
+    [-1, 1)). Compressed formats (mp3/ogg/flac/non-PCM WAV) still raise
+    NotImplementedError — those genuinely need codec libraries absent
+    from this container."""
+    import io
+    import wave
+
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only uncompressed RIFF/WAVE is decodable with the stdlib; "
+            "compressed audio needs a codec library not in this container"
+        )
+    try:
+        with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:  # non-PCM WAV (compressed payload in a RIFF box)
+        raise NotImplementedError(f"non-PCM WAV: {e}") from e
+    if sw == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        pcm = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    return sr, ch, pcm.reshape(-1, ch)
 
 
 # ---------------------------------------------------------------------------
@@ -238,10 +279,11 @@ AUDIO_FEATURES_DDL = (
 
 
 def audio_features(df: DataFrame, id_col: str = "audio_id", bytes_col: str = "bytes") -> DataFrame:
-    """Audio feature extraction — the kernel shape is real (projection,
-    Arrow batches, output schema); the decode raises NotImplementedError
-    per environment constraints, surfaced as decode_ok=False rows so a
-    pipeline over mixed media degrades instead of failing."""
+    """Audio feature extraction over WAV/PCM blobs: sample rate, channel
+    count, duration, RMS level. Decode is real for uncompressed WAV
+    (stdlib ``wave`` + numpy); compressed formats surface as
+    decode_ok=False rows so a pipeline over mixed media degrades instead
+    of failing."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -256,9 +298,14 @@ def audio_features(df: DataFrame, id_col: str = "audio_id", bytes_col: str = "by
             }
             for k in range(n):
                 try:
-                    _decode_audio(pdf[bytes_col].iloc[k])
+                    sr, ch, pcm = _decode_audio(pdf[bytes_col].iloc[k])
                 except NotImplementedError:
-                    pass  # decode_ok stays False
+                    continue  # decode_ok stays False
+                out["decode_ok"][k] = True
+                out["sample_rate"][k] = sr
+                out["channels"][k] = ch
+                out["duration_sec"][k] = pcm.shape[0] / sr if sr else np.nan
+                out["rms"][k] = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64)))) if pcm.size else 0.0
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(kernel, schema=AUDIO_FEATURES_DDL)

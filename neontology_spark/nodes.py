@@ -39,19 +39,47 @@ def create_nodes(existing: DataFrame, batch: DataFrame) -> DataFrame:
 def delete_nodes(
     table: DataFrame,
     model: NodeModel,
-    pp_values: Sequence,
+    pp_values,
     edge_tables: Optional[dict[str, tuple[DataFrame, RelationshipModel]]] = None,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """DETACH DELETE: returns (post_nodes, {rel_type: post_edges}).
     Edges are cascaded for edge tables whose source or target label is this
-    model's label (graphengine.py:236-253 DETACH semantics)."""
+    model's label (graphengine.py:236-253 DETACH semantics).
+
+    ``pp_values`` accepts three shapes (VERDICT r2 #7):
+    * a Python sequence of pp values — the reference's ``UNWIND $pp_values``
+      list API; broadcast-joined (delete batches are driver-sized).
+    * a single-column DataFrame of pp values — "delete these keys" without
+      any driver round-trip; stays distributed end-to-end.
+    * a Column predicate over ``table`` — "DELETE WHERE": nodes are removed
+      by a direct NULL-safe filter (no join at all); the cascade key set is
+      the predicate's matching pp values.
+    The kill-key side of the edge anti-joins is broadcast only for the
+    list API, where it is bounded by construction; DataFrame/predicate
+    kill sets can be arbitrarily large and join shuffled (AQE picks
+    broadcast when they turn out small)."""
+    from pyspark.sql import Column
+
     pp = model.pp_storage
-    kill = F.broadcast(
-        table.sparkSession.createDataFrame(
-            [(v,) for v in pp_values], f"{pp} {table.schema[pp].dataType.simpleString()}"
+    if isinstance(pp_values, Column):
+        kill = table.filter(pp_values).select(pp)
+        # NULL predicate rows must SURVIVE (not match ⇒ not deleted)
+        post_nodes = table.filter(~F.coalesce(pp_values, F.lit(False)))
+    elif isinstance(pp_values, DataFrame):
+        if len(pp_values.columns) != 1:
+            raise ValueError(
+                "DataFrame kill set must have exactly one column of pp values"
+            )
+        kill = pp_values.select(F.col(pp_values.columns[0]).alias(pp))
+        post_nodes = table.join(kill, pp, "left_anti")
+    else:
+        kill = F.broadcast(
+            table.sparkSession.createDataFrame(
+                [(v,) for v in pp_values],
+                f"{pp} {table.schema[pp].dataType.simpleString()}",
+            )
         )
-    )
-    post_nodes = table.join(kill, pp, "left_anti")
+        post_nodes = table.join(kill, pp, "left_anti")
     post_edges: dict[str, DataFrame] = {}
     for rtype, (edges, rmodel) in (edge_tables or {}).items():
         out = edges
@@ -99,13 +127,31 @@ def match_nodes(
     order_by: Optional[str] = None,
     limit: Optional[int] = None,
     skip: Optional[int] = None,
+    after=None,
 ) -> DataFrame:
     """F3: filtered, paged node read. Deterministic paging requires
     ``order_by`` (reference order is engine-dependent; its tests only
-    assert page disjointness — we default to pp order for determinism)."""
+    assert page disjointness — we default to pp order for determinism).
+
+    Two paging modes (VERDICT r2 #3):
+    * offset (``skip``) — positional parity with the reference's
+      SKIP/LIMIT; the ``offset`` above a global sort costs a full-table
+      ordering Exchange at every page.
+    * keyset/seek (``after=<last seen order key>``) — ``WHERE key > after
+      ORDER BY key LIMIT n``: the filter prunes at the scan and
+      ``orderBy().limit()`` compiles to TakeOrderedAndProject (per-
+      partition top-n heaps merged on the driver, NO ordering Exchange) —
+      the 10^12-row paging path. Same page-disjointness guarantee; pages
+      advance by passing the previous page's last key.
+    ``after`` and ``skip`` are mutually exclusive."""
+    if after is not None and skip:
+        raise ValueError("use either keyset paging (after=) or offset (skip=)")
+    key = order_by or model.pp_storage
     pred = compile_filters(filters, model.rename_map())
     out = table if pred is None else table.filter(pred)
-    out = out.orderBy(order_by or model.pp_storage)
+    if after is not None:
+        out = out.filter(F.col(key) > F.lit(after))
+    out = out.orderBy(key)
     if skip:
         out = out.offset(int(skip))
     if limit is not None:

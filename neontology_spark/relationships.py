@@ -96,10 +96,21 @@ def get_related(
     skip: Optional[int] = None,
     source_column: str = "source",
     target_column: str = "target",
+    with_paths: bool = False,
 ) -> DataFrame:
     """J5 traversal: from ``start_keys`` (single column ``key``), follow
     edges of ``rel_types`` in ``direction`` ('out'/'in'/'both') for
     ``min_depth..max_depth`` hops; returns (start, node, depth, rel_type).
+
+    ``with_paths=True`` adds a ``path`` column — the hop sequence
+    ``start->n1->…->node`` as a delimited string — replaying the
+    reference's first-class Path result values
+    (``/root/reference/src/neontology/result.py:10-13``, Path dispatch
+    ``neo4jengine.py:157-183``). When several hop sequences reach the same
+    (start, node, depth), the lexicographically smallest path is kept
+    (``min(path)`` per group) so results stay deterministic and
+    set-oriented — one representative path per reachable pair, same row
+    set as the path-less mode.
 
     * type alternation ``[r:T1|T2]`` → union of the per-type edge tables
       (they share the source/target schema) + isin filter.
@@ -153,24 +164,63 @@ def get_related(
     frontier = start_keys.select(
         F.col("key").alias("start"), F.col("key").alias("node")
     )
+    if with_paths:
+        frontier = frontier.withColumn("path", F.col("node").cast("string"))
     out = None
     for depth in range(1, max_depth + 1):
-        frontier = (
-            frontier.join(hops, frontier["node"] == hops["_from"], "inner")
-            .select("start", F.col("_to").alias("node"), "rel_type")
-            .dropDuplicates(["start", "node", "rel_type"])
-        )
+        joined = frontier.join(hops, frontier["node"] == hops["_from"], "inner")
+        if with_paths:
+            frontier = (
+                joined.select(
+                    "start",
+                    F.col("_to").alias("node"),
+                    "rel_type",
+                    F.concat(
+                        F.col("path"), F.lit("->"), F.col("_to").cast("string")
+                    ).alias("path"),
+                )
+                # min(path) per (start,node,rel_type): deterministic
+                # representative; same group keys as the dropDuplicates
+                # branch so the row set is identical
+                .groupBy("start", "node", "rel_type")
+                .agg(F.min("path").alias("path"))
+            )
+        else:
+            frontier = (
+                joined.select("start", F.col("_to").alias("node"), "rel_type")
+                .dropDuplicates(["start", "node", "rel_type"])
+            )
         if multi_hop:
             frontier = frontier.localCheckpoint(eager=True)
         if depth >= min_depth:
             step = frontier.withColumn("depth", F.lit(depth))
             out = step if out is None else out.unionByName(step)
-        frontier = frontier.select("start", "node").dropDuplicates()
+        if with_paths:
+            frontier = frontier.groupBy("start", "node").agg(
+                F.min("path").alias("path")
+            )
+        else:
+            frontier = frontier.select("start", "node").dropDuplicates()
 
     if out is None:
         raise AssertionError("unreachable: max_depth >= 1")
     if distinct:
-        out = out.dropDuplicates(["start", "node"])
+        if with_paths:
+            # deterministic representative: lexicographic struct-min picks
+            # the shallowest (then smallest rel_type/path) row per pair
+            out = (
+                out.groupBy("start", "node")
+                .agg(F.min(F.struct("depth", "rel_type", "path")).alias("_s"))
+                .select(
+                    "start",
+                    "node",
+                    F.col("_s.rel_type").alias("rel_type"),
+                    F.col("_s.depth").alias("depth"),
+                    F.col("_s.path").alias("path"),
+                )
+            )
+        else:
+            out = out.dropDuplicates(["start", "node"])
     out = out.orderBy("start", "node", "depth")
     if skip:
         out = out.offset(skip)

@@ -118,10 +118,26 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-def hyperplane_signature(vec_col: str, num_planes: int = 16, dim: int = 64):
+def hyperplane_signature(vec_col: str, num_planes: int, dim: int):
     """Array<int> of num_planes sign bits: sign(v · plane_p), each plane a
-    literal weight array (JVM-side zip_with/aggregate, no hashing)."""
-    v = _f64(F.col(vec_col))
+    literal weight array (JVM-side zip_with/aggregate, no hashing).
+
+    ``dim`` is REQUIRED (ADVICE r2): a too-small dim silently NULL-pads the
+    zip_with projection, every sign bit falls to the otherwise(0) branch,
+    and all rows hash to one LSH bucket — correct results (exact re-rank)
+    but a degenerate full cross join. Internal callers infer it via
+    ``_infer_dim``; the expression below also fail-fasts at runtime on any
+    row whose vector length != dim."""
+    v = F.when(
+        F.size(F.col(vec_col)) == dim, _f64(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"hyperplane_signature: vector length %s != dim={dim}",
+                F.size(F.col(vec_col)),
+            )
+        )
+    )
     planes = _plane_matrix(num_planes, dim)
 
     def bit(p: int):
@@ -233,24 +249,46 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    sample_cap: int = 100_000,
+    seed: int = 7,
 ) -> list[list[float]]:
     """Deterministic mini k-means (spherical-ish, dot-product assignment):
     init = the n_centroids vectors with the smallest xxhash64(id) (a
-    deterministic pseudo-random sample), then ``iters`` Lloyd steps where
-    the recompute is a posexplode → groupBy(cluster, dim) mean — each step
-    is one scan + one tiny shuffle; the centroid matrix (n_centroids × dim
-    doubles) lives on the driver and enters plans as literals (broadcast
-    by construction). At 10^12 rows train on a sampled subset — the
-    quantizer needs representativeness, not the full table."""
+    deterministic pseudo-random pick), then ``iters`` Lloyd steps where
+    the recompute is a posexplode → groupBy(cluster, dim) mean.
+
+    SAMPLE-BASED (VERDICT r2 #1): the quantizer needs representativeness,
+    not the full table, so training runs over a seeded Bernoulli sample
+    bounded by ``sample_cap`` rows (one column-pruned count picks the
+    fraction). The sample is **persisted once** and reused by the init
+    scan and every Lloyd step — without that, ``sample()`` re-scans the
+    full corpus per action and at 10^12 rows quantizer training would
+    dominate the query it accelerates. Tables at or under ``sample_cap``
+    train exactly as before (fraction 1, no behavior change at test SFs).
+    The centroid matrix (n_centroids × dim doubles) lives on the driver
+    and enters plans as literals (broadcast by construction).
+    ``sample_cap=None`` disables sampling (full-corpus audit mode)."""
+    train = corpus.select(id_col, vec_col)
+    sampled = False
+    if sample_cap is not None:
+        n = train.count()
+        if n > sample_cap:
+            # 1.1 oversample margin: Bernoulli undershoot below the cap is
+            # harmless (it's a cap, not a quota), overshoot slightly helps
+            frac = min(1.0, 1.1 * sample_cap / n)
+            train = train.sample(fraction=frac, seed=seed)
+            sampled = True
+    if sampled or iters > 0:
+        train = train.persist()
     init_rows = (
-        corpus.select(vec_col)
+        train.select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))
         .limit(n_centroids)
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     for _ in range(iters):
-        assigned = corpus.select(
+        assigned = train.select(
             _argmax_dot(vec_col, centroids).alias("_c"),
             F.col(vec_col).alias("_v"),
         )
@@ -267,6 +305,7 @@ def train_ivf_centroids(
             [by_c[c][d] for d in sorted(by_c[c])] if c in by_c else centroids[c]
             for c in range(n_centroids)
         ]
+    train.unpersist()
     return centroids
 
 
@@ -280,6 +319,7 @@ def ivf_topk(
     n_probe: int = 4,
     centroids: Optional[list[list[float]]] = None,
     iters: int = 2,
+    sample_cap: int = 100_000,
 ) -> DataFrame:
     """IVF ANN: corpus rows are bucketed by nearest centroid (the inverted
     file); each query probes its ``n_probe`` nearest centroids and exact
@@ -291,7 +331,7 @@ def ivf_topk(
     shuffle on cluster id when persisted as a bucketed table); probing
     replaces the O(N) scan per query with O(N · n_probe / n_centroids)."""
     cents = centroids if centroids is not None else train_ivf_centroids(
-        corpus, n_centroids, id_col, vec_col, iters
+        corpus, n_centroids, id_col, vec_col, iters, sample_cap=sample_cap
     )
     n_centroids = len(cents)
     inv = corpus.select(

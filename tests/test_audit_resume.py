@@ -57,11 +57,14 @@ def test_partial_completion_resumes_only_pending(setup):
     assert run.pending_parts() == {5, 6, 7}
     v = run.run()
     parts_processed = {r["part"] for r in v.collect()}
-    assert parts_processed == {5, 6, 7}
-    # violations recorded only for pending partitions (null-fmt rows 21..23
-    # live in parts 5,6,7 — exactly the pending set here)
+    # part 4 appears because the cross-partition dup group's completed-side
+    # member is re-emitted (tagged late) — its failed verdict row revises
+    # the completed part's earlier pass (ADVICE r2 fix)
+    assert parts_processed == {4, 5, 6, 7}
+    # violations recorded for pending partitions (null-fmt rows 21..23 live
+    # in parts 5,6,7) plus the late completed-side dup member in part 4
     vio = store.read("violations")
-    assert {r["part"] for r in vio.collect()} <= {5, 6, 7}
+    assert {r["part"] for r in vio.collect()} <= {4, 5, 6, 7}
     got_null_parts = {
         r["part"] for r in vio.filter(F.col("check") == "required_not_null").collect()
     }
@@ -69,10 +72,15 @@ def test_partial_completion_resumes_only_pending(setup):
     # CROSS-BOUNDARY duplicate: rows 12 (part 4, completed) and 13 (part 5,
     # pending) share an image_id. A pruned-scan uniqueness check would see
     # only the part-5 member (count 1 ⇒ no dup ⇒ silent false pass); the
-    # global check scans the whole table and must report the part-5 member.
+    # global check scans the whole table and must report BOTH members: the
+    # pending-side one normally, the completed-side one tagged late (its
+    # pending partner did not exist when part 4 completed).
     dup_rows = vio.filter(F.col("check").startswith("unique")).collect()
-    assert {r["part"] for r in dup_rows} == {5}
-    assert any(r["key"] == "img_000000000012" for r in dup_rows)
+    assert {r["part"] for r in dup_rows} == {4, 5}
+    assert all(r["key"] == "img_000000000012" for r in dup_rows)
+    late = [r for r in dup_rows if r["part"] == 4]
+    assert len(late) == 1 and "[late" in late[0]["detail"]
+    assert all("[late" not in r["detail"] for r in dup_rows if r["part"] == 5)
     # now fully complete
     assert run.pending_parts() == set()
 

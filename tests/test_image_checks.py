@@ -272,3 +272,30 @@ def test_payload_sampled_estimator_same_violations(images, tmp_path_factory, spa
     images.write.parquet(path)
     got2 = {r["key"] for r in check_payload_files(spark, path, sample_rows=8).collect()}
     assert got2 == expect
+
+
+def test_sampled_kernel_all_null_blobs():
+    """ADVICE r2: a batch whose binary data buffer is empty (all blobs
+    NULL/zero-length) must score as not-ok rows, not IndexError."""
+    import pyarrow as pa
+
+    from neontology_spark.images import _score_record_batch_sampled
+
+    batch = pa.record_batch(
+        {
+            "part": pa.array([0, 1], pa.int64()),
+            "image_id": pa.array(["img_000000000001", "img_000000000002"]),
+            "bytes": pa.array([None, b""], pa.binary()),
+            "caption": pa.array(["x", "y"]),
+        }
+    )
+    out = _score_record_batch_sampled(batch, sample_rows=8)
+    assert out.num_rows == 2
+    assert out.column("decode_ok").to_pylist() == [False, False]
+    vio = _score_record_batch_sampled(batch, sample_rows=8, only_violations=True)
+    assert vio.num_rows == 2
+
+    empty = batch.slice(0, 0)
+    out0 = _score_record_batch_sampled(empty, sample_rows=8)
+    assert out0.num_rows == 0
+    assert out0.schema.names == ["part", "image_id", "psnr", "decode_ok", "caption_ok"]

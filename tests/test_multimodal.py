@@ -87,7 +87,35 @@ def test_audio_stub_degrades(spark):
         [Row(audio_id="a1", bytes=b"RIFF....")], "audio_id string, bytes binary"
     )
     r = audio_features(df).collect()[0]
-    assert r["decode_ok"] is False  # stubbed decode -> degraded row, no crash
+    assert r["decode_ok"] is False  # truncated RIFF -> degraded row, no crash
+
+
+def test_audio_wav_decode(spark):
+    """Real WAV/PCM decode (VERDICT r2 #6): stdlib wave + numpy — sample
+    rate, channels, duration, and RMS all recovered; non-WAV rows degrade."""
+    from neontology_spark.multimodal import encode_wav
+
+    sr = 8_000
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 second
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    stereo = np.stack([mono, 0.25 * mono], axis=1)
+    df = spark.createDataFrame(
+        [
+            Row(audio_id="mono", bytes=encode_wav(mono, sr)),
+            Row(audio_id="stereo", bytes=encode_wav(stereo, sr)),
+            Row(audio_id="junk", bytes=b"\x00" * 64),
+        ],
+        "audio_id string, bytes binary",
+    )
+    rows = {r["audio_id"]: r for r in audio_features(df).collect()}
+    m = rows["mono"]
+    assert m["decode_ok"] and m["sample_rate"] == sr and m["channels"] == 1
+    assert abs(m["duration_sec"] - 1.0) < 1e-6
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.3536 (16-bit quantized)
+    assert abs(m["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    s = rows["stereo"]
+    assert s["decode_ok"] and s["channels"] == 2
+    assert rows["junk"]["decode_ok"] is False
 
 
 def test_feature_kernel_prunes_payload_inputs(images, spark, tmp_path_factory):

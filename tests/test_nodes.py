@@ -93,3 +93,64 @@ def test_match_one_first_or_none_with_multiplicity_warning(spark, setup):
         row = match_one(dup, person, "alice")
         assert row is not None and row["name"] == "alice"
         assert any("Multiple" in str(x.message) for x in w)
+
+
+def test_match_nodes_keyset_paging_disjoint(setup):
+    """Seek pages (after=<last key>) cover the same rows as offset pages,
+    disjointly (VERDICT r2 #3)."""
+    person, _, _, people, _, _ = setup
+    p1 = match_nodes(people, person, limit=2)
+    rows1 = [r["name"] for r in p1.collect()]
+    assert rows1 == ["alice", "bob"]
+    p2 = match_nodes(people, person, limit=2, after=rows1[-1])
+    rows2 = [r["name"] for r in p2.collect()]
+    assert rows2 == ["carol"]
+    assert not set(rows1) & set(rows2)
+    with pytest.raises(ValueError):
+        match_nodes(people, person, limit=2, skip=1, after="alice")
+
+
+def test_match_nodes_keyset_plan_has_no_global_sort(setup):
+    """Seek mode must compile to TakeOrderedAndProject (per-partition
+    top-n + driver merge) with NO ordering Exchange — the 10^12-row
+    paging path."""
+    person, _, _, people, _, _ = setup
+    page = match_nodes(people, person, limit=2, after="alice")
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    # offset mode is the positional-parity (expensive) path: global sort
+    off = match_nodes(people, person, limit=2, skip=1)
+    off_plan = off._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in off_plan or "Sort" in off_plan
+
+
+def test_delete_nodes_dataframe_kill_set(spark, setup):
+    """DataFrame-of-keys overload: same result as the list API, no
+    driver round-trip (VERDICT r2 #7)."""
+    person, team, rel, people, teams, edges = setup
+    kill_df = spark.createDataFrame([("alice",)], "name string")
+    post_nodes, post_edges = delete_nodes(
+        people, person, kill_df, edge_tables={"PLAYS_FOR": (edges, rel)}
+    )
+    assert sorted(r["name"] for r in post_nodes.collect()) == ["bob", "carol"]
+    assert post_edges["PLAYS_FOR"].count() == 2
+
+
+def test_delete_nodes_predicate(spark, setup):
+    """Column-predicate overload (DELETE WHERE): NULL predicate rows
+    survive; cascade uses the matching key set."""
+    from pyspark.sql import functions as F
+
+    person, team, rel, people, teams, edges = setup
+    with_null = people.unionByName(
+        spark.createDataFrame([("dan", None)], "name string, age long")
+    )
+    post_nodes, post_edges = delete_nodes(
+        with_null, person, F.col("age") >= 30,
+        edge_tables={"PLAYS_FOR": (edges, rel)},
+    )
+    # alice(30) + carol(41) deleted; bob(25) stays; dan(NULL age) SURVIVES
+    assert sorted(r["name"] for r in post_nodes.collect()) == ["bob", "dan"]
+    remaining = sorted(r["source"] for r in post_edges["PLAYS_FOR"].collect())
+    assert remaining == ["bob"]
