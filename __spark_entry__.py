@@ -814,9 +814,11 @@ def q_s3_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     rmodel = RelationshipModel(
         rel_type="PLACED", source_label="CustomerT", target_label="OrderT"
     )
-    kill = [r["c_custkey"] for r in cust.filter(F.col("c_nationkey") == 5).select("c_custkey").collect()]
+    # predicate-delete overload (VERDICT r2 #7): "DELETE WHERE" stays
+    # distributed end-to-end — no driver collect of the kill set
     post_nodes, post_edges = delete_nodes(
-        cust, model, kill, edge_tables={"PLACED": (orders, rmodel)}
+        cust, model, F.col("c_nationkey") == 5,
+        edge_tables={"PLACED": (orders, rmodel)},
     )
     return post_nodes.agg(F.count(F.lit(1)).alias("n_customers")).crossJoin(
         post_edges["PLACED"].agg(F.count(F.lit(1)).alias("n_orders"))
@@ -1158,6 +1160,217 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SIMHASH = _O_LSH_CORPUS  # identical planted-duplicate pair set
 
 
+# F3b — keyset/seek paging (VERDICT r2 #3): WHERE pp > after ORDER BY pp
+# LIMIT n, compiling to TakeOrderedAndProject (no ordering Exchange)
+def q_f3_match_nodes_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.models import NodeModel, Property
+    from neontology_spark.nodes import match_nodes
+
+    cust = _t(spark, sf_dir, "customer")
+    model = NodeModel(
+        label="CustomerK",
+        primary_property="c_custkey",
+        properties=[
+            Property("c_custkey", int),
+            Property("c_name", str),
+            Property("c_mktsegment", str),
+        ],
+    )
+    page = match_nodes(
+        cust, model, filters={"c_mktsegment__iexact": "building"},
+        limit=20, after=150,
+    )
+    return page.select("c_custkey", "c_name")
+
+
+O_F3K = """
+SELECT c_custkey, c_name FROM customer
+WHERE lower(c_mktsegment) = 'building' AND c_custkey > 150
+ORDER BY c_custkey LIMIT 20
+"""
+
+
+# J5c — path hydration (VERDICT r2 #4): traversal rows carry the hop
+# sequence; ties resolve to the lexicographically smallest path
+def q_j5_traverse_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.relationships import get_related
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            F.col("user_id").cast("string").alias("source"),
+            ((F.col("user_id") * 7 + 3) % 1000).cast("string").alias("target"),
+        )
+        .dropDuplicates()
+    )
+    start = spark.createDataFrame([("1",), ("2",)], "key string")
+    out = get_related(
+        {"NEXT": edges}, start, rel_types=["NEXT"], min_depth=1, max_depth=2,
+        with_paths=True,
+    )
+    return out.select("start", "node", "depth", "path").orderBy(
+        "start", "node", "depth"
+    )
+
+
+O_J5_PATHS = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS source,
+         CAST((user_id * 7 + 3) % 1000 AS VARCHAR) AS target
+  FROM events
+),
+walk AS (
+  SELECT s.start, e.target AS node, 1 AS depth,
+         s.start || '->' || e.target AS path
+  FROM (SELECT '1' AS start UNION ALL SELECT '2') s
+  JOIN edges e ON e.source = s.start
+  UNION ALL
+  SELECT w.start, e.target, w.depth + 1, w.path || '->' || e.target
+  FROM walk w JOIN edges e ON e.source = w.node
+  WHERE w.depth < 2
+)
+SELECT start, node, depth, min(path) AS path
+FROM walk GROUP BY start, node, depth ORDER BY start, node, depth
+"""
+
+
+# §2.10 — secondary-label conformance (VERDICT r2 #5): rows whose label
+# set != {primary} ∪ secondaries (neo4jengine.py:77-80 unexpected-label
+# warning on read-back)
+def q_label_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.checks.core import check_labels
+    from neontology_spark.models import NodeModel, Property
+
+    cust = _t(spark, sf_dir, "customer")
+    model = NodeModel(
+        label="Customer",
+        primary_property="c_custkey",
+        properties=[Property("c_custkey", int)],
+        secondary_labels=("Entity",),
+    )
+    # plant wrong label sets: every 97th key loses its secondary label
+    tagged = cust.withColumn(
+        "labels",
+        F.when(
+            F.col("c_custkey") % 97 == 3, F.array(F.lit("Customer"))
+        ).otherwise(F.array(F.lit("Customer"), F.lit("Entity"))),
+    )
+    vio = check_labels(tagged, model).violations
+    return vio.select("check", "key", "detail").orderBy("key")
+
+
+O_LABELS = """
+SELECT 'label_conformance' AS "check",
+       CAST(c_custkey AS VARCHAR) AS key,
+       'unexpected label set: [Customer]' AS detail
+FROM customer WHERE c_custkey % 97 = 3
+ORDER BY key
+"""
+
+
+# S6 — typed bulk import incl. nested RELATIONSHIPS_OUT explode
+# (VERDICT r2 #2; reference tools/import_records.py:147-383, test
+# semantics tests/test_tools/test_import_records.py:111-235): node
+# groups by label, exploded edges with alternate-key targets, unmatched
+# targets surfaced (not dropped)
+def q_s6_import_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.models import (
+        ModelCatalog,
+        NodeModel,
+        Property,
+        RelationshipModel,
+    )
+    from neontology_spark.tools.import_records import import_records
+
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    mx = cust.agg(F.max("c_custkey")).first()[0]  # dense 1..mx (TPC-H)
+
+    catalog = ModelCatalog()
+    catalog.register_node(
+        NodeModel(
+            label="CustomerI",
+            primary_property="c_custkey",
+            properties=[Property("c_custkey", int), Property("c_name", str)],
+        )
+    )
+    catalog.register_node(
+        NodeModel(
+            label="NationI",
+            primary_property="n_nationkey",
+            properties=[Property("n_nationkey", int), Property("n_name", str)],
+        )
+    )
+    catalog.register_rel(
+        RelationshipModel(
+            rel_type="LOCATED_IN", source_label="NationI", target_label="CustomerI"
+        )
+    )
+
+    cust_recs = cust.select(
+        F.lit("CustomerI").alias("LABEL"), "c_custkey", "c_name"
+    )
+    n = F.col("n_nationkey")
+    nat_recs = nation.select(
+        F.lit("NationI").alias("LABEL"),
+        "n_nationkey",
+        "n_name",
+        F.array(
+            F.struct(
+                F.lit("LOCATED_IN").alias("RELATIONSHIP_TYPE"),
+                F.lit("CustomerI").alias("TARGET_LABEL"),
+                F.lit("c_custkey").alias("TARGET_PROPERTY"),
+                F.array(
+                    ((n * 31 + 7) % mx + 1).cast("string"),
+                    ((n * 53 + 11) % mx + 1).cast("string"),
+                    (n + 9_000_000).cast("string"),  # planted unmatched
+                ).alias("TARGETS"),
+            )
+        ).alias("RELATIONSHIPS_OUT"),
+    )
+    raw = cust_recs.unionByName(nat_recs, allowMissingColumns=True)
+    report = import_records(raw, catalog)
+
+    edges = report.rels_by_type["LOCATED_IN"].select("source", "target")
+    um = (
+        report.ri_unmatched.filter(F.col("side") == "target")
+        .select(F.col("key").alias("target"))
+        .dropDuplicates()
+        .withColumn("unmatched", F.lit(True))
+    )
+    return (
+        edges.join(um, "target", "left")
+        .select(
+            "source",
+            "target",
+            F.coalesce(F.col("unmatched"), F.lit(False)).alias("unmatched"),
+        )
+        .orderBy("source", "target")
+    )
+
+
+O_S6 = """
+WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+tgt AS (
+  SELECT CAST(n_nationkey AS VARCHAR) AS source,
+         CAST((n_nationkey * 31 + 7) % (SELECT m FROM mx) + 1 AS VARCHAR) AS target
+  FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey AS VARCHAR),
+         CAST((n_nationkey * 53 + 11) % (SELECT m FROM mx) + 1 AS VARCHAR)
+  FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey AS VARCHAR), CAST(n_nationkey + 9000000 AS VARCHAR)
+  FROM nation
+)
+SELECT source, target,
+       NOT EXISTS (
+         SELECT 1 FROM customer c WHERE CAST(c.c_custkey AS VARCHAR) = tgt.target
+       ) AS unmatched
+FROM tgt ORDER BY source, target
+"""
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1201,6 +1414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _shipped(q_embedding_near_dup),
         "minhash_lsh": _shipped(q_minhash_lsh),
         "simhash_pairs": _shipped(q_simhash_pairs),
+        "f3_match_nodes_keyset": _shipped(q_f3_match_nodes_keyset),
+        "j5_traverse_paths": _shipped(q_j5_traverse_paths),
+        "label_conformance": _shipped(q_label_conformance),
+        "s6_import_records": _shipped(q_s6_import_records),
     }
 
 
@@ -1238,4 +1455,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": O_EMB_NEAR_DUP,
         "minhash_lsh": O_MINHASH,
         "simhash_pairs": O_SIMHASH,
+        "f3_match_nodes_keyset": O_F3K,
+        "j5_traverse_paths": O_J5_PATHS,
+        "label_conformance": O_LABELS,
+        "s6_import_records": O_S6,
     }
