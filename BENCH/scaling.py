@@ -58,6 +58,11 @@ import bench  # noqa: E402
 CORES_PER_EXEC = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
 N_EXECS_HI = int(os.environ.get("SPARK_GRAFT_EXECS", "4"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+# occupancy equalization on/off (ADVICE r2: report the no-ballast series
+# alongside the headline so the protocol sensitivity is visible)
+BALLAST = os.environ.get("SPARK_GRAFT_BALLAST", "1") != "0"
+SUITE_LOOPS = int(os.environ.get("SPARK_GRAFT_SUITE_LOOPS", "1"))
+WRITE_MD = os.environ.get("SPARK_GRAFT_WRITE_MD", "1") != "0"
 # 16M rows (~56 GB parquet): per-suite fixed costs (~5 s: plan building,
 # stage scheduling, task-wave granularity) are a constant Amdahl term per
 # run — at 4M rows they alone cap N->4N efficiency at ~0.75 even with
@@ -182,7 +187,7 @@ def main() -> None:
         ballast = [
             (k * CORES_PER_EXEC, CORES_PER_EXEC, files[k::N_EXECS_HI])
             for k in range(n_execs, N_EXECS_HI)
-        ]
+        ] if BALLAST else []
         return min(
             (_run_workers(assigns, ballast) for _ in range(REPEATS)),
             key=lambda x: x[0],
@@ -211,8 +216,12 @@ def main() -> None:
         "cores_per_exec": CORES_PER_EXEC,
         "psnr_sample_rows": bench.PSNR_SAMPLE_ROWS,
         "repeats": REPEATS,
+        "ballast": BALLAST,
+        "suite_loops": SUITE_LOOPS,
     }
     print(json.dumps(out))
+    if not WRITE_MD:
+        return
 
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 

@@ -168,18 +168,36 @@ def match_relationships(
     target_model: NodeModel,
     limit: Optional[int] = None,
     skip: Optional[int] = None,
+    after: Optional[tuple] = None,
 ) -> DataFrame:
     """F4: (source node, rel, target node) triples — edge table joined to
     both endpoint tables on their primary properties, endpoint columns
     prefixed ``source_``/``target_`` (hydration parity with
     graphengine.py:403-448; rels whose endpoints are missing drop, the
-    J6 'rel needs endpoints' rule)."""
+    J6 'rel needs endpoints' rule).
+
+    ``after=(last_source, last_target)`` is the keyset-paging variant
+    (same rationale as ``match_nodes``): the composite-key seek predicate
+    pushes into the edge scan and ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject — no ordering Exchange at any page depth.
+    Mutually exclusive with ``skip``."""
+    if after is not None and skip:
+        raise ValueError("use either keyset paging (after=) or offset (skip=)")
     src = source_table.select(
         [F.col(c).alias(f"source_{c}") for c in source_table.columns]
     )
     tgt = target_table.select(
         [F.col(c).alias(f"target_{c}") for c in target_table.columns]
     )
+    if after is not None:
+        last_src, last_tgt = after
+        edges = edges.filter(
+            (F.col(rmodel.source_column) > F.lit(last_src))
+            | (
+                (F.col(rmodel.source_column) == F.lit(last_src))
+                & (F.col(rmodel.target_column) > F.lit(last_tgt))
+            )
+        )
     out = edges.join(
         src,
         edges[rmodel.source_column] == src[f"source_{source_model.pp_storage}"],

@@ -11,6 +11,11 @@ re-scanning the table.
   (tagged with the epoch) to the audit store. foreachBatch gives
   exactly-once *per sink append* under Spark's checkpointing; the audit
   rows are idempotent on (run_id, epoch) replay.
+* ``streaming_unique_violations`` — CROSS-batch uniqueness via
+  ``applyInPandasWithState`` (keyed counter state): per-batch checks
+  cannot see a duplicate whose copies arrive batches apart; this
+  stateful operator can, and is the streaming analogue of the
+  north_rule's uniqueness check.
 * ``windowed_event_counts`` — watermark + tumbling-window aggregation over
   an event stream (late data handled by the watermark), the standard
   monitoring companion to drift checks.
@@ -80,6 +85,67 @@ def incremental_validate(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_unique_violations(
+    stream_df: DataFrame,
+    key_col: str,
+    output_mode: str = "update",
+):
+    """Cross-micro-batch uniqueness: the stateful streaming analogue of
+    ``checks.check_unique``. Per-batch checks (``incremental_validate``)
+    cannot see a duplicate whose two rows arrive in different
+    micro-batches; this operator keys state by the uniqueness key itself
+    (``groupBy(key).applyInPandasWithState``) and keeps one counter per
+    key, emitting a violation row whenever a key's lifetime count exceeds
+    one — including the first time the SECOND copy arrives, batches
+    apart.
+
+    Returns an unstarted grouped-state DataFrame — compose with
+    ``writeStream.foreachBatch``/sink as usual.
+
+    Scale notes: state is one long per distinct key, sharded by the
+    groupBy hash across executors and held in the state store (RocksDB on
+    a real cluster) — the same state layout any streaming dedup uses.
+    ``NoTimeout`` keeps keys forever (uniqueness is a forever property);
+    pipelines that only need within-horizon uniqueness should add an
+    event-time timeout to bound state. Output rows carry the lifetime
+    count so downstream can distinguish "second copy" (count=2) from a
+    hot key (count≫2) without rescanning.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"key string, dup_count long, new_rows long"
+    )
+    state_schema = "count long"
+
+    def track(key, pdfs, state: GroupState):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        prev = state.get[0] if state.exists else 0
+        total = prev + n_new
+        state.update((total,))
+        if total > 1 and n_new > 0:
+            # emit once per batch in which the key is (still) duplicated
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "dup_count": [total],
+                    "new_rows": [n_new],
+                }
+            )
+
+    keyed = stream_df.select(F.col(key_col).cast("string").alias("key"))
+    return keyed.groupBy("key").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def windowed_event_counts(

@@ -154,3 +154,21 @@ def test_delete_nodes_predicate(spark, setup):
     assert sorted(r["name"] for r in post_nodes.collect()) == ["bob", "dan"]
     remaining = sorted(r["source"] for r in post_edges["PLAYS_FOR"].collect())
     assert remaining == ["bob"]
+
+
+def test_match_relationships_keyset_paging(spark, setup):
+    """Composite-key seek paging over hydrated relationship triples."""
+    person, team, rel, people, teams, edges = setup
+    p1 = match_relationships(edges, rel, people, teams, person, team, limit=2)
+    rows1 = [(r["source"], r["target"]) for r in p1.collect()]
+    assert rows1 == [("alice", "reds"), ("bob", "reds")]
+    p2 = match_relationships(
+        edges, rel, people, teams, person, team, limit=2, after=rows1[-1]
+    )
+    rows2 = [(r["source"], r["target"]) for r in p2.collect()]
+    assert rows2 == [("carol", "blues")]
+    with pytest.raises(ValueError):
+        match_relationships(
+            edges, rel, people, teams, person, team, limit=2, skip=1,
+            after=("a", "b"),
+        )

@@ -85,3 +85,48 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     n = spark.sql("SELECT count(*) AS n FROM win_counts").collect()[0]["n"]
     # append mode emits only watermark-closed windows; at least most close
     assert n > 0
+
+
+def test_streaming_unique_cross_batch(spark, tmp_path):
+    """A duplicate whose copies arrive in DIFFERENT micro-batches must be
+    caught — the stateful cross-batch path per-batch checks cannot see."""
+    from neontology_spark.streaming import streaming_unique_violations
+
+    inp = str(tmp_path / "uniq_in")
+    # batch 1: keys a,b,c (unique so far). batch 2: b again (+ d, and an
+    # in-batch dup e,e)
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "k string"
+    ).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "100")
+        .parquet(inp)
+    )
+    out = streaming_unique_violations(stream, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("uniq_violations")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "uniq_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM uniq_violations").count() == 0
+
+        spark.createDataFrame(
+            [("b",), ("d",), ("e",), ("e",)], "k string"
+        ).write.mode("append").parquet(inp)
+        q.processAllAvailable()
+        rows = {
+            r["key"]: r for r in spark.sql("SELECT * FROM uniq_violations").collect()
+        }
+        # cross-batch dup: b seen once in batch 1 + once in batch 2
+        assert rows["b"]["dup_count"] == 2 and rows["b"]["new_rows"] == 1
+        # in-batch dup: e twice within batch 2
+        assert rows["e"]["dup_count"] == 2 and rows["e"]["new_rows"] == 2
+        assert "a" not in rows and "d" not in rows
+    finally:
+        q.stop()

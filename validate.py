@@ -41,6 +41,11 @@ def main() -> int:
     ap.add_argument("--baseline", default=None, help="parquet path of a clean baseline snapshot for drift")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[32]"))
+    ap.add_argument(
+        "--psnr-sample-rows", type=int, default=0,
+        help="rows per image for the sampled PSNR estimator (0 = exact "
+        "full-plane audit mode; 8 = the bench default, ±0.2 dB CI)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,7 +89,14 @@ def main() -> int:
     checks = [
         functools.partial(check_required, model=model, part_col=args.part_col),
         functools.partial(check_domain, model=model, part_col=args.part_col),
-        lambda df: CheckResult("payload_invariants", "Image", check_payload(df)),
+        lambda df: CheckResult(
+            "payload_invariants",
+            "Image",
+            check_payload(
+                df,
+                sample_rows=args.psnr_sample_rows or None,
+            ),
+        ),
     ]
     global_checks = [
         functools.partial(check_unique, model=model, part_col=args.part_col),
