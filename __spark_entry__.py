@@ -1371,6 +1371,72 @@ FROM tgt ORDER BY source, target
 """
 
 
+# DEDUP — connected components over near-dup pairs (transitive closure:
+# a~b, b~c => one cluster) via hash-min label propagation; the oracle is
+# the full recursive reachability closure in SQL
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.components import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    # deterministic pair set: each user links to its residue hub (star
+    # clusters; hubs outside the user-id domain)
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("id_a"),
+        (F.lit(1_000_000) + F.col("user_id") % 97).cast("long").alias("id_b"),
+    ).dropDuplicates()
+    comp = connected_components(edges)
+    return comp.select("node", "comp").orderBy("node")
+
+
+O_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS a,
+         CAST(1000000 + user_id % 97 AS BIGINT) AS b
+  FROM events
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), nodes AS (
+  SELECT DISTINCT a AS id FROM sym
+), reach AS (
+  SELECT id AS start, id AS node FROM nodes
+  UNION
+  SELECT r.start, s.b AS node FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT start AS node, min(node) AS comp FROM reach
+GROUP BY start ORDER BY start
+"""
+
+
+# SAMPLING — deterministic content-keyed stratified sample: md5(key)
+# compared to a per-stratum hex threshold; identical predicate in any
+# engine with md5, which is exactly what the oracle exercises
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.sampling import deterministic_sample
+
+    cust = _t(spark, sf_dir, "customer")
+    out = deterministic_sample(
+        cust,
+        "c_custkey",
+        stratify_col="c_mktsegment",
+        fractions={"BUILDING": 0.5, "MACHINERY": 0.05},
+        default_fraction=0.01,
+    )
+    return out.select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+
+
+# thresholds = hex(floor(fraction * 16^8)), 8 digits (sampling._threshold)
+O_STRATIFIED = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE md5(CAST(c_custkey AS VARCHAR)) <
+  CASE c_mktsegment
+    WHEN 'BUILDING' THEN '80000000'
+    WHEN 'MACHINERY' THEN '0ccccccc'
+    ELSE '028f5c28'
+  END
+ORDER BY c_custkey
+"""
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1418,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_traverse_paths": _shipped(q_j5_traverse_paths),
         "label_conformance": _shipped(q_label_conformance),
         "s6_import_records": _shipped(q_s6_import_records),
+        "dedup_components": _shipped(q_dedup_components),
+        "stratified_sample": _shipped(q_stratified_sample),
     }
 
 
@@ -1459,4 +1527,6 @@ def oracle_sql() -> dict[str, str]:
         "j5_traverse_paths": O_J5_PATHS,
         "label_conformance": O_LABELS,
         "s6_import_records": O_S6,
+        "dedup_components": O_COMPONENTS,
+        "stratified_sample": O_STRATIFIED,
     }

@@ -23,7 +23,9 @@ from .models import (
 
 from . import (  # noqa: F401  (public module surface)
     audit,
+    bucketing,
     checks,
+    components,
     dedup,
     filters,
     fused,
@@ -32,6 +34,7 @@ from . import (  # noqa: F401  (public module surface)
     multimodal,
     nodes,
     relationships,
+    sampling,
     similarity,
     streaming,
     textops,

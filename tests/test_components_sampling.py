@@ -1,0 +1,108 @@
+"""Connected-components dedup closure + deterministic sampling tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neontology_spark.components import connected_components, dedupe_by_components
+from neontology_spark.sampling import deterministic_sample
+
+
+def test_components_chain_and_singleton_pair(spark):
+    """A 3-chain (a-b, b-c) is ONE component labeled by its min id —
+    the case exact-group dedup gets wrong; convergence needs >1 round."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 31), (31, 32), (32, 33)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 5: 1, 9: 1,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
+def test_components_deep_chain_converges(spark):
+    """A 12-node path needs many propagation rounds — the max_iter bound
+    and per-round checkpointing must not truncate convergence."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11, 0, -1)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    assert comp.select("comp").distinct().count() == 1
+    assert comp.agg(F.min("comp")).first()[0] == 1
+
+
+def test_dedupe_by_components(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 5, 9, 20, 21, 40)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedupe_by_components(docs, pairs).collect()
+    )
+    # one per cluster (min id) + untouched singleton 40
+    assert kept == [1, 20, 40]
+
+
+def test_deterministic_sample_flat(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    s1 = deterministic_sample(cust, "c_custkey", 0.25)
+    s2 = deterministic_sample(cust, "c_custkey", 0.25)
+    k1 = {r["c_custkey"] for r in s1.select("c_custkey").collect()}
+    k2 = {r["c_custkey"] for r in s2.select("c_custkey").collect()}
+    assert k1 == k2  # content-keyed: identical across runs
+    assert 0.15 * n < len(k1) < 0.35 * n  # ~25% (md5-uniform)
+    # monotone containment: a larger fraction is a superset
+    k_half = {
+        r["c_custkey"]
+        for r in deterministic_sample(cust, "c_custkey", 0.5)
+        .select("c_custkey")
+        .collect()
+    }
+    assert k1 <= k_half
+
+
+def test_deterministic_sample_stratified(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = deterministic_sample(
+        cust,
+        "c_custkey",
+        stratify_col="c_mktsegment",
+        fractions={"BUILDING": 0.5, "MACHINERY": 0.05},
+        default_fraction=0.0,
+    )
+    got = out.groupBy("c_mktsegment").count().collect()
+    by = {r["c_mktsegment"]: r["count"] for r in got}
+    assert set(by) <= {"BUILDING", "MACHINERY"}  # others sampled at 0
+    totals = {
+        r["c_mktsegment"]: r["count"]
+        for r in cust.groupBy("c_mktsegment").count().collect()
+    }
+    assert 0.3 < by["BUILDING"] / totals["BUILDING"] < 0.7
+    assert by.get("MACHINERY", 0) / totals["MACHINERY"] < 0.15
+    # stratum membership never changes WHICH rows of a stratum are picked:
+    # flat 0.5 sample restricted to BUILDING == stratified BUILDING rows
+    flat = deterministic_sample(cust, "c_custkey", 0.5).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    assert {r["c_custkey"] for r in flat.select("c_custkey").collect()} == {
+        r["c_custkey"]
+        for r in out.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .collect()
+    }
+
+
+def test_sample_fraction_validation(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with pytest.raises(ValueError):
+        deterministic_sample(cust, "c_custkey", 1.5)
+    with pytest.raises(ValueError):
+        deterministic_sample(cust, "c_custkey")
+    with pytest.raises(ValueError):
+        deterministic_sample(cust, "c_custkey", fractions={"A": 0.1})
