@@ -1371,6 +1371,43 @@ FROM tgt ORDER BY source, target
 """
 
 
+# DEDUP — the full near-dup pipeline end-to-end: MinHash+LSH pair
+# finding -> connected-components closure -> keep the min-id member per
+# cluster. Oracle: on the planted-exact-duplicate corpus the clusters
+# are exactly the normalized-fingerprint groups, so "kept" = min doc_id
+# per fingerprint
+def q_dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.components import dedupe_by_components
+    from neontology_spark.dedup import minhash_lsh_pairs
+
+    corpus = _lsh_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, threshold=1.0)
+    return dedupe_by_components(corpus, pairs).select("doc_id").orderBy("doc_id")
+
+
+O_NEAR_PIPELINE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' a' || doc_id || ' b' || doc_id || ' c' || doc_id
+              || ' d' || doc_id || ' e' || doc_id || ' f' || doc_id
+              || ' g' || doc_id || ' h' || doc_id AS text
+  FROM documents WHERE doc_id < 200
+),
+unioned AS (
+  SELECT doc_id, text FROM aug
+  UNION ALL
+  SELECT doc_id + 100000, text FROM aug WHERE doc_id % 20 = 0
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM unioned
+)
+SELECT doc_id FROM fp f
+WHERE doc_id = (SELECT min(doc_id) FROM fp g WHERE g.f = f.f)
+ORDER BY doc_id
+"""
+
+
 # DEDUP — connected components over near-dup pairs (transitive closure:
 # a~b, b~c => one cluster) via hash-min label propagation; the oracle is
 # the full recursive reachability closure in SQL
@@ -1486,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_import_records": _shipped(q_s6_import_records),
         "dedup_components": _shipped(q_dedup_components),
         "stratified_sample": _shipped(q_stratified_sample),
+        "dedup_near_pipeline": _shipped(q_dedup_near_pipeline),
     }
 
 
@@ -1529,4 +1567,5 @@ def oracle_sql() -> dict[str, str]:
         "s6_import_records": O_S6,
         "dedup_components": O_COMPONENTS,
         "stratified_sample": O_STRATIFIED,
+        "dedup_near_pipeline": O_NEAR_PIPELINE,
     }
