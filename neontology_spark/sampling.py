@@ -60,6 +60,10 @@ def deterministic_sample(
 
     The hash is keyed on the ROW key, not the stratum, so growing or
     re-bucketing a stratum never changes which of its rows are sampled.
+
+    NULL keys are never sampled (md5(NULL) is NULL; NULL < t is not
+    true) — a NULL-keyed row has no stable identity to sample by, and
+    silently including it would make the subset partition-dependent.
     """
     h = sample_hash(key_col)
     if fractions is not None:

@@ -106,3 +106,19 @@ def test_sample_fraction_validation(spark, sf_dir):
         deterministic_sample(cust, "c_custkey")
     with pytest.raises(ValueError):
         deterministic_sample(cust, "c_custkey", fractions={"A": 0.1})
+
+
+def test_components_empty_pairs(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert dedupe_by_components(docs, empty).count() == 1
+
+
+def test_sample_null_keys_never_sampled(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    out = deterministic_sample(df, "k", 1.0 - 1e-9)  # ~everything
+    keys = {r["k"] for r in out.collect()}
+    assert None not in keys and keys <= {"a", "b"}

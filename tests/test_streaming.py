@@ -130,3 +130,58 @@ def test_streaming_unique_cross_batch(spark, tmp_path):
         assert "a" not in rows and "d" not in rows
     finally:
         q.stop()
+
+
+def test_incremental_drift_check(spark, tmp_path):
+    """Drift wired into the streaming path: each micro-batch's histogram
+    compared against a fixed clean baseline — a shifted batch must fail
+    its drift verdict while the clean batch passes."""
+    import functools
+
+    from neontology_spark.checks.drift import (
+        check_drift,
+        drift_metrics,
+        numeric_histogram,
+    )
+
+    edges = [0.0, 16, 32, 48, 64, 80, 96, 112, 128, 160]
+    clean = generate_images(spark, n_rows=1_000, n_parts=4, plant_violations=False)
+    base_hist = numeric_histogram(clean.filter(F.col("part") < 3), "w", edges)
+
+    def drift_check(df):
+        return check_drift(
+            drift_metrics(
+                base_hist, numeric_histogram(df, "w", edges, part_col="part")
+            ),
+            label="Image",
+        )
+
+    inp = str(tmp_path / "drift_in")
+    # arrival 1: clean parts 0-2; arrival 2: part 3 (the intentionally
+    # shifted distribution in generate_images)
+    imgs = generate_images(spark, n_rows=1_000, n_parts=4)
+    imgs.filter(F.col("part") < 3).write.mode("append").parquet(inp)
+    imgs.filter(F.col("part") == 3).write.mode("append").parquet(inp)
+
+    store = AuditStore(spark, str(tmp_path / "drift_audit"))
+    q = incremental_validate(
+        spark,
+        inp,
+        schema=spark.read.parquet(inp).schema,
+        checks=[drift_check],
+        store=store,
+        run_id="drift_stream",
+        checkpoint_dir=str(tmp_path / "drift_ckpt"),
+        max_files_per_trigger=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    verdicts = store.read("verdicts").filter(
+        F.col("check") == "distribution_drift"
+    )
+    by_part = {r["part"]: r["passed"] for r in verdicts.collect()}
+    assert by_part[3] is False  # shifted partition flagged
+    assert any(v for p, v in by_part.items() if p != 3)  # clean parts pass
