@@ -93,6 +93,38 @@ def main() -> None:
             f"Jaccard >= {J_T} | {len(found)} pairs | {r:.3f} | {p:.3f} |"
         )
 
+    # hard regime: the driver corpus is bimodal (every pair is ~0 or ~1
+    # similar — measured: identical truth sets at t=0.6 and t=0.35), so
+    # near-threshold behavior needs a constructed corpus. Planted pairs
+    # share a 20-token block plus u unique tokens per side: 3-shingle
+    # Jaccard ~ 18/(2(18+u)-18), i.e. u=5..30 spans J ~ 0.64..0.23 —
+    # straddling t=0.4, where the 64-hash signature estimate's
+    # ~1/sqrt(64) noise genuinely decides pairs.
+    S, U_LEVELS, PER_LEVEL = 20, (5, 10, 15, 20, 30), 50
+    rows = []
+    pid = 0
+    for u in U_LEVELS:
+        for _ in range(PER_LEVEL):
+            shared = " ".join(f"p{pid}s{j}" for j in range(S))
+            rows.append((2 * pid, shared + " " + " ".join(f"p{pid}a{j}" for j in range(u))))
+            rows.append((2 * pid + 1, shared + " " + " ".join(f"p{pid}b{j}" for j in range(u))))
+            pid += 1
+    hard = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    J_HARD = 0.4
+    truth_hard = pairs(jaccard_pairs(hard, threshold=J_HARD, max_shingle_df=None))
+    for bands in (8, 16, 32):
+        found = pairs(
+            minhash_lsh_pairs(hard, num_hashes=64, bands=bands, threshold=J_HARD)
+        )
+        r, p = rp(found, truth_hard)
+        dflt = " (default)" if bands == 16 else ""
+        lines.append(
+            f"| minhash_lsh b={bands},r={64 // bands}{dflt} @ t={J_HARD}, "
+            f"planted-overlap corpus ({len(truth_hard)} true pairs of "
+            f"{pid}) | vs exact Jaccard >= {J_HARD} | {len(found)} pairs "
+            f"| {r:.3f} | {p:.3f} |"
+        )
+
     # ---- simhash: pigeonhole banding is exact over hamming --------------
     H = 3
     sh = with_simhash(
@@ -196,6 +228,15 @@ def main() -> None:
   (whose pigeonhole chunking is *provably* exact over the hamming bound,
   confirmed 92k/92k pairs), and embedding near-dup on perturbed planted
   duplicates. Precision is 1.0 everywhere the verifier is exact.
+* **The hard regime is measured, not hidden**: the driver corpus is
+  bimodal (pairs are ~0 or ~1 similar), so a planted-overlap corpus
+  with true Jaccard straddling the threshold probes where the 64-hash
+  signature estimate genuinely decides. The banding dial behaves per
+  the LSH S-curve: b=8,r=8 collapses (0.10 — candidates never collide
+  at J~0.45), the b=16,r=4 default reaches 0.78 recall / 0.92
+  precision, b=32,r=2 trades to 0.93 / 0.86. Boundary pairs
+  (J within ~1/sqrt(64) of t) are the entire error mass; raise
+  num_hashes for tighter thresholds.
 * **Top-k ANN on these embeddings is the hard case by construction**:
   the synthetic vectors are weakly clustered, so a query's true top-10
   are barely closer than random points — the worst regime for LSH. The
