@@ -921,6 +921,81 @@ FROM r ORDER BY doc_id
 """
 
 
+# TEXT — the curation decision itself: keep/drop + machine-readable
+# reasons composed from the verified langid/quality/token primitives
+# (what a training-data filter stage actually emits)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark import textops
+
+    docs = _t(spark, sf_dir, "documents")
+    q = F.round(textops.quality_score("text"), 6)
+    lang = textops.detect_language("text")
+    ntok = textops.token_count("text")
+    keep = (q >= 0.8) & (lang == "en") & (ntok >= 10)
+    reasons = F.concat_ws(
+        ",",
+        F.when(q < 0.8, F.lit("low_quality")),
+        F.when(lang != "en", F.lit("non_english")),
+        F.when(ntok < 10, F.lit("too_short")),
+    )
+    return docs.select(
+        "doc_id",
+        keep.alias("keep"),
+        F.when(~keep, reasons).otherwise(F.lit("")).alias("reasons"),
+    ).orderBy("doc_id")
+
+
+O_TEXT_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, len(toks) AS n_tok,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','eine','zu','mit'], lower(x))))::DOUBLE
+      / greatest(len(toks), 1) AS sc_de,
+    len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','a','in','is','it','that','was'], lower(x))))::DOUBLE
+      / greatest(len(toks), 1) AS sc_en,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','los','y','es','una','un','en','que','por'], lower(x))))::DOUBLE
+      / greatest(len(toks), 1) AS sc_es,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','et','est','une','un','dans','que','pour'], lower(x))))::DOUBLE
+      / greatest(len(toks), 1) AS sc_fr,
+    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+      / greatest(len(toks), 1) AS mwl,
+    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+      / greatest(length(text), 1) AS pr
+  FROM t
+),
+scored AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN greatest(sc_de, sc_en, sc_es, sc_fr) < 0.05 THEN 'und'
+         WHEN sc_fr = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'fr'
+         WHEN sc_es = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'es'
+         WHEN sc_en = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'en'
+         ELSE 'de' END AS lang,
+    round(0.3::DOUBLE * (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END)
+        + 0.25::DOUBLE * (CASE WHEN pr < 0.2 THEN 1.0::DOUBLE ELSE 0.4::DOUBLE END)
+        + 0.25::DOUBLE * (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+        + 0.2::DOUBLE * (CASE WHEN sc_en > 0.02 THEN 1.0::DOUBLE ELSE 0.6::DOUBLE END), 6) AS q
+  FROM r
+)
+SELECT doc_id,
+  (q >= 0.8 AND lang = 'en' AND n_tok >= 10) AS keep,
+  CASE WHEN (q >= 0.8 AND lang = 'en' AND n_tok >= 10) THEN ''
+       ELSE concat_ws(',',
+         CASE WHEN q < 0.8 THEN 'low_quality' END,
+         CASE WHEN lang <> 'en' THEN 'non_english' END,
+         CASE WHEN n_tok < 10 THEN 'too_short' END)
+  END AS reasons
+FROM scored ORDER BY doc_id
+"""
+
+
 # DEDUP — exact duplicate groups (deterministically planted duplicates)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neontology_spark.dedup import exact_duplicate_groups
@@ -1524,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _shipped(q_dedup_components),
         "stratified_sample": _shipped(q_stratified_sample),
         "dedup_near_pipeline": _shipped(q_dedup_near_pipeline),
+        "text_quality_filter": _shipped(q_text_quality_filter),
     }
 
 
@@ -1568,4 +1644,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": O_COMPONENTS,
         "stratified_sample": O_STRATIFIED,
         "dedup_near_pipeline": O_NEAR_PIPELINE,
+        "text_quality_filter": O_TEXT_FILTER,
     }
