@@ -51,20 +51,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        nb = (
-            sym.join(labels, sym["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "comp")
-            .groupBy("node")
-            .agg(F.min("comp").alias("nb_comp"))
+        # neighbor label contributions unioned with the self labels, then
+        # ONE min-aggregate: min(own, neighbors') per node in two
+        # shuffles/round (edge⋈labels + groupBy) — the join+agg+left-join
+        # formulation costs a third; at 10^12 edges that's 1/3 of the
+        # per-round shuffle bytes
+        contrib = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "comp"
         )
         new = (
-            labels.join(nb, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+            contrib.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
         changed = (
