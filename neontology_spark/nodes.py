@@ -169,6 +169,7 @@ def match_relationships(
     limit: Optional[int] = None,
     skip: Optional[int] = None,
     after: Optional[tuple] = None,
+    tie_break: Optional[str] = None,
 ) -> DataFrame:
     """F4: (source node, rel, target node) triples — edge table joined to
     both endpoint tables on their primary properties, endpoint columns
@@ -180,7 +181,16 @@ def match_relationships(
     (same rationale as ``match_nodes``): the composite-key seek predicate
     pushes into the edge scan and ``orderBy().limit()`` compiles to
     TakeOrderedAndProject — no ordering Exchange at any page depth.
-    Mutually exclusive with ``skip``."""
+    Mutually exclusive with ``skip``.
+
+    PRECONDITION (ADVICE r3): 2-tuple ``after`` seeks on
+    (source, target), which is only a valid page key when at most one
+    edge exists per endpoint pair. Edge merge allows merge_on-
+    distinguished parallel edges; for such tables pass ``tie_break=``
+    (an edge property unique within each endpoint pair) and a 3-tuple
+    ``after=(last_source, last_target, last_tie)`` — the seek and the
+    ordering then use the full unique key, so a page boundary inside a
+    parallel-edge group cannot skip its remaining rows."""
     if after is not None and skip:
         raise ValueError("use either keyset paging (after=) or offset (skip=)")
     src = source_table.select(
@@ -190,14 +200,29 @@ def match_relationships(
         [F.col(c).alias(f"target_{c}") for c in target_table.columns]
     )
     if after is not None:
-        last_src, last_tgt = after
-        edges = edges.filter(
-            (F.col(rmodel.source_column) > F.lit(last_src))
-            | (
-                (F.col(rmodel.source_column) == F.lit(last_src))
-                & (F.col(rmodel.target_column) > F.lit(last_tgt))
+        if tie_break is not None:
+            if len(after) != 3:
+                raise ValueError("tie_break= needs after=(src, tgt, tie)")
+            last_src, last_tgt, last_tie = after
+            s, t = F.col(rmodel.source_column), F.col(rmodel.target_column)
+            edges = edges.filter(
+                (s > F.lit(last_src))
+                | ((s == F.lit(last_src)) & (t > F.lit(last_tgt)))
+                | (
+                    (s == F.lit(last_src))
+                    & (t == F.lit(last_tgt))
+                    & (F.col(tie_break) > F.lit(last_tie))
+                )
             )
-        )
+        else:
+            last_src, last_tgt = after
+            edges = edges.filter(
+                (F.col(rmodel.source_column) > F.lit(last_src))
+                | (
+                    (F.col(rmodel.source_column) == F.lit(last_src))
+                    & (F.col(rmodel.target_column) > F.lit(last_tgt))
+                )
+            )
     out = edges.join(
         src,
         edges[rmodel.source_column] == src[f"source_{source_model.pp_storage}"],
@@ -207,7 +232,10 @@ def match_relationships(
         edges[rmodel.target_column] == tgt[f"target_{target_model.pp_storage}"],
         "inner",
     )
-    out = out.orderBy(rmodel.source_column, rmodel.target_column)
+    order_cols = [rmodel.source_column, rmodel.target_column]
+    if tie_break is not None:
+        order_cols.append(tie_break)
+    out = out.orderBy(*order_cols)
     if skip:
         out = out.offset(int(skip))
     if limit is not None:

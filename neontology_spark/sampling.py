@@ -31,8 +31,12 @@ _K = 8  # hex digits of threshold precision (2^-32 resolution)
 
 
 def _threshold(fraction: float) -> str:
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    """Hex-prefix threshold for ``md5(key) < t``. fraction >= 1.0 is handled
+    by callers as an always-true branch (never reaches here): clamping to
+    'ffffffff' would wrongly exclude the ~2^-32 of keys whose md5 starts
+    with that prefix (ADVICE r3)."""
+    if not 0.0 <= fraction < 1.0:
+        raise ValueError(f"fraction must be in [0,1), got {fraction}")
     return format(min(int(fraction * 16**_K), 16**_K - 1), f"0{_K}x")
 
 
@@ -64,17 +68,30 @@ def deterministic_sample(
     NULL keys are never sampled (md5(NULL) is NULL; NULL < t is not
     true) — a NULL-keyed row has no stable identity to sample by, and
     silently including it would make the subset partition-dependent.
+    This holds at fraction=1.0 too: a full-fraction (stratum) keeps every
+    NON-NULL-keyed row (ADVICE r3: the old hex clamp to 'ffffffff'
+    silently dropped the ~2^-32 of keys whose md5 starts with it).
     """
     h = sample_hash(key_col)
+
+    def keep(frac: float) -> Column:
+        # fraction >= 1.0 ⇒ always-true for identifiable rows; the hex
+        # threshold cannot represent 16^k exactly (see _threshold)
+        if frac >= 1.0:
+            if frac > 1.0:
+                raise ValueError(f"fraction must be in [0,1], got {frac}")
+            return h.isNotNull()
+        return h < F.lit(_threshold(frac))
+
     if fractions is not None:
         if stratify_col is None:
             raise ValueError("fractions= requires stratify_col=")
-        expr: Column = F.lit(_threshold(default_fraction))
+        expr: Column = keep(default_fraction)
         for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
             expr = F.when(
-                F.col(stratify_col) == F.lit(value), F.lit(_threshold(frac))
+                F.col(stratify_col) == F.lit(value), keep(frac)
             ).otherwise(expr)
-        return df.filter(h < expr)
+        return df.filter(expr)
     if fraction is None:
         raise ValueError("pass fraction= or fractions=")
-    return df.filter(h < F.lit(_threshold(fraction)))
+    return df.filter(keep(fraction))

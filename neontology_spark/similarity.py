@@ -8,9 +8,12 @@ Scale design:
   window row_number. Exact; cost O(|Q|·N) — the baseline you verify the
   ANN against, and the right tool when |Q| is small.
 * LSH (random hyperplanes): h-bit signature per vector; planes are
-  deterministic pseudo-random values derived from xxhash64(plane, dim) —
-  no driver-side randomness, no broadcast of plane matrices, fully
-  reproducible across runs and engines. Candidates = vectors sharing a
+  deterministic pseudo-random values derived from sha256(plane, dim) —
+  no driver-side RNG state, fully reproducible across runs and engines.
+  The plane/centroid matrices ride a broadcast one-row relation as a
+  single array<array<double>> column (NOT per-cell plan literals —
+  VERDICT r3 #1: literals were 10^5-10^6 plan nodes at production dims).
+  Candidates = vectors sharing a
   signature band bucket; exact cosine re-rank on candidates only.
   At 10^12 vectors the band join shuffles (band, bucket) keys — tune
   bands/bits so bucket sizes stay bounded; hot buckets (near-duplicate
@@ -21,8 +24,35 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+
+# ---------------------------------------------------------------------------
+# matrix shipping — broadcast one-row DataFrame, NOT per-cell literals
+# ---------------------------------------------------------------------------
+
+
+def _with_matrix(df: DataFrame, matrix: list[list[float]], col: str) -> DataFrame:
+    """Attach a plane/centroid matrix to every row as ONE
+    array<array<double>> column via a broadcast single-row cross join.
+
+    Why not literals (VERDICT r3 #1): embedding the matrix as
+    ``rows × dim`` literal doubles puts 10^5-10^6 expression nodes into
+    the plan at production dims (768-4096) — plan build/serialize time
+    and codegen limits become the bottleneck before any data moves. The
+    broadcast column puts ONE attribute reference in the plan; the values
+    ride the (tiny) broadcast relation. Arithmetic is unchanged — same
+    zip_with/aggregate per plane, same left-to-right order — so results
+    are bit-identical to the literal form."""
+    schema = StructType(
+        [StructField(col, ArrayType(ArrayType(DoubleType(), False), False), False)]
+    )
+    one = df.sparkSession.createDataFrame(
+        [([[float(x) for x in row] for row in matrix],)], schema
+    )
+    return df.crossJoin(F.broadcast(one))
 
 # ---------------------------------------------------------------------------
 # exact cosine
@@ -92,10 +122,10 @@ def brute_force_topk(
 def _plane_matrix(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1), derived from
     sha256(plane, dim_index) — reproducible across runs/engines with no
-    driver RNG state. Computed ONCE on the driver and shipped as literal
-    arrays inside the plan (a broadcast-by-construction plane matrix):
-    at 10^12 rows this removes per-row × per-plane × per-dim hash calls
-    that round 1 paid (VERDICT r1 'What's wrong' #3)."""
+    driver RNG state. Computed ONCE on the driver (removing the per-row ×
+    per-plane × per-dim hash calls round 1 paid, VERDICT r1 #3) and
+    shipped via ``_with_matrix`` as one broadcast array column (removing
+    the per-cell plan literals round 3 flagged, VERDICT r3 #1)."""
     import hashlib
 
     return [
@@ -118,17 +148,12 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-def hyperplane_signature(vec_col: str, num_planes: int, dim: int):
-    """Array<int> of num_planes sign bits: sign(v · plane_p), each plane a
-    literal weight array (JVM-side zip_with/aggregate, no hashing).
-
-    ``dim`` is REQUIRED (ADVICE r2): a too-small dim silently NULL-pads the
-    zip_with projection, every sign bit falls to the otherwise(0) branch,
-    and all rows hash to one LSH bucket — correct results (exact re-rank)
-    but a degenerate full cross join. Internal callers infer it via
-    ``_infer_dim``; the expression below also fail-fasts at runtime on any
-    row whose vector length != dim."""
-    v = F.when(
+def _checked_vec(vec_col: str, dim: int):
+    """float64 vector with a runtime length fail-fast. Only evaluated for
+    non-NULL vectors (callers guard with isNotNull — NULL embeddings get a
+    NULL signature instead of a hard failure, ADVICE r3: they can never be
+    candidates, so skipping is the correct semantics)."""
+    return F.when(
         F.size(F.col(vec_col)) == dim, _f64(F.col(vec_col))
     ).otherwise(
         F.raise_error(
@@ -138,23 +163,80 @@ def hyperplane_signature(vec_col: str, num_planes: int, dim: int):
             )
         )
     )
-    planes = _plane_matrix(num_planes, dim)
 
-    def bit(p: int):
-        w = F.array(*[F.lit(x) for x in planes[p]])
+
+def _signature_from_matrix(vec_col: str, mat_col: str, dim: int):
+    """Sign-bit array from the broadcast plane-matrix COLUMN: one
+    ``transform`` over the planes array — the plan carries a single
+    attribute reference however large num_planes × dim gets."""
+
+    def bit(p):
         proj = F.aggregate(
-            F.zip_with(v, w, lambda x, wi: x * wi),
+            F.zip_with(_checked_vec(vec_col, dim), p, lambda x, wi: x * wi),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
         return F.when(proj >= 0, 1).otherwise(0)
 
-    return F.array(*[bit(p) for p in range(num_planes)])
+    # no otherwise(): NULL vector → NULL signature → drops out of banding
+    return F.when(
+        F.col(vec_col).isNotNull(), F.transform(F.col(mat_col), bit)
+    )
+
+
+def with_hyperplane_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "sig",
+    num_planes: int = 16,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """df + hyperplane sign-bit signature column, planes shipped via the
+    broadcast matrix column (see ``_with_matrix``) — the plan-bounded
+    form all internal callers use (VERDICT r3 #1)."""
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
+    d = _with_matrix(df, _plane_matrix(num_planes, dim), "_planes")
+    return d.withColumn(
+        out_col, _signature_from_matrix(vec_col, "_planes", dim)
+    ).drop("_planes")
+
+
+def hyperplane_signature(vec_col: str, num_planes: int, dim: int):
+    """Array<int> of num_planes sign bits: sign(v · plane_p), each plane a
+    literal weight array. INLINE form for small dims / ad-hoc column use —
+    plans carry num_planes × dim literal nodes, so at production embedding
+    dims (768+) use ``with_hyperplane_signature`` (broadcast matrix column,
+    one plan node) instead; internal callers all do.
+
+    ``dim`` is REQUIRED (ADVICE r2): a too-small dim silently NULL-pads the
+    zip_with projection, every sign bit falls to the otherwise(0) branch,
+    and all rows hash to one LSH bucket — correct results (exact re-rank)
+    but a degenerate full cross join. The expression fail-fasts at runtime
+    on any non-NULL row whose vector length != dim; NULL vectors yield a
+    NULL signature (ADVICE r3)."""
+    planes = _plane_matrix(num_planes, dim)
+
+    def bit(p: int):
+        w = F.array(*[F.lit(x) for x in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(_checked_vec(vec_col, dim), w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        return F.when(proj >= 0, 1).otherwise(0)
+
+    return F.when(
+        F.col(vec_col).isNotNull(),
+        F.array(*[bit(p) for p in range(num_planes)]),
+    )
 
 
 def _explode_bands(df: DataFrame, bands: int, r: int, *keep: str) -> DataFrame:
     """(keep…, band, bucket) rows: one per signature band, bucket =
-    xxhash64 of the band's sign bits."""
+    xxhash64 of the band's sign bits. NULL signatures (NULL embeddings,
+    ADVICE r3) are dropped here — they can never be candidates, and
+    banding them would funnel every NULL row into one hot bucket."""
+    df = df.filter(F.col("sig").isNotNull())
     return df.select(
         *keep,
         F.explode(
@@ -191,10 +273,14 @@ def lsh_topk(
     dim = dim if dim is not None else _infer_dim(corpus, vec_col)
 
     def with_bands(df, id_alias, vec_alias):
-        sig = df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            hyperplane_signature(vec_col, num_planes, dim).alias("sig"),
+        sig = with_hyperplane_signature(
+            df.select(
+                F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+            ),
+            vec_alias,
+            "sig",
+            num_planes,
+            dim,
         )
         return _explode_bands(sig, bands, r, id_alias, vec_alias)
 
@@ -222,23 +308,22 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _argmax_dot(vec_col, centroids: list[list[float]]):
-    """Index of the centroid with max dot product — array of JVM-side dot
-    exprs + array_position(array_max); no UDF."""
-    dots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    _f64(F.col(vec_col)),
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-            for c in centroids
-        ]
+def _dots_from_matrix(vec_col: str, mat_col: str) -> Column:
+    """Array of dot products v · centroid_c over the broadcast centroid
+    matrix column — one ``transform``, one plan node regardless of
+    n_centroids × dim (VERDICT r3 #1; the literal-array form was
+    10^5-10^6 plan nodes at n_centroids ~ sqrt(N), dim 768+)."""
+    return F.transform(
+        F.col(mat_col),
+        lambda c: F.aggregate(
+            F.zip_with(_f64(F.col(vec_col)), c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
     )
+
+
+def _cluster_from_dots(dots: Column) -> Column:
     # array_position is 1-based; ties resolve to the first max (deterministic)
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
@@ -266,7 +351,7 @@ def train_ivf_centroids(
     dominate the query it accelerates. Tables at or under ``sample_cap``
     train exactly as before (fraction 1, no behavior change at test SFs).
     The centroid matrix (n_centroids × dim doubles) lives on the driver
-    and enters plans as literals (broadcast by construction).
+    and enters plans as ONE broadcast array column (``_with_matrix``).
     ``sample_cap=None`` disables sampling (full-corpus audit mode)."""
     train = corpus.select(id_col, vec_col)
     sampled = False
@@ -288,8 +373,8 @@ def train_ivf_centroids(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     for _ in range(iters):
-        assigned = train.select(
-            _argmax_dot(vec_col, centroids).alias("_c"),
+        assigned = _with_matrix(train, centroids, "_cents").select(
+            _cluster_from_dots(_dots_from_matrix(vec_col, "_cents")).alias("_c"),
             F.col(vec_col).alias("_v"),
         )
         means = (
@@ -334,31 +419,21 @@ def ivf_topk(
         corpus, n_centroids, id_col, vec_col, iters, sample_cap=sample_cap
     )
     n_centroids = len(cents)
-    inv = corpus.select(
+    # both the corpus assignment and the query dot arrays read the centroid
+    # matrix from the broadcast one-row relation — one plan node per use,
+    # bounded at any n_centroids × dim (VERDICT r3 #1)
+    inv = _with_matrix(corpus, cents, "_cents").select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        _argmax_dot(vec_col, cents).alias("cluster"),
+        _cluster_from_dots(_dots_from_matrix(vec_col, "_cents")).alias("cluster"),
     )
 
     # query → n_probe nearest centroids (rank the dot array driver-style
     # via explode + window; the array is n_centroids long — tiny)
-    qdots = queries.select(
+    qdots = _with_matrix(queries, cents, "_cents").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        _f64(F.col(vec_col)),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                )
-                for c in cents
-            ]
-        ).alias("_dots"),
+        _dots_from_matrix(vec_col, "_cents").alias("_dots"),
     )
     probed = qdots.select(
         "query_id", "qv", F.posexplode("_dots").alias("cluster", "_dot")
@@ -398,10 +473,12 @@ def embedding_near_duplicates(
     assert num_planes % bands == 0
     r = num_planes // bands
     dim = dim if dim is not None else _infer_dim(df, vec_col)
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_signature(vec_col, num_planes, dim).alias("sig"),
+    sig = with_hyperplane_signature(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        "sig",
+        num_planes,
+        dim,
     )
     # lineage cut (mirrors dedup.py minhash): the signature feeds BOTH
     # sides of the band self-join — without persisting, every vector's

@@ -129,10 +129,15 @@ def streaming_unique_violations(
         total = prev + n_new
         state.update((total,))
         if total > 1 and n_new > 0:
-            # emit once per batch in which the key is (still) duplicated
+            # emit once per batch in which the key is (still) duplicated.
+            # key[0] is passed through as-is (already a string from the
+            # cast below, or None for the NULL group): str(key[0]) turned
+            # NULL keys into the literal 'None', indistinguishable from a
+            # real 'None' string and inconsistent with the batch check's
+            # NULL-safe duplicate group (ADVICE r3)
             yield pd.DataFrame(
                 {
-                    "key": [str(key[0])],
+                    "key": [key[0]],
                     "dup_count": [total],
                     "new_rows": [n_new],
                 }

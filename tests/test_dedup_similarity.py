@@ -209,3 +209,88 @@ def test_hyperplane_signature_wrong_dim_fails_fast(spark, vectors):
         hyperplane_signature("embedding", 8, real_dim).alias("sig")
     )
     assert len(good.first()["sig"]) == 8
+
+
+def test_null_embedding_yields_null_signature_not_error(spark):
+    """ADVICE r3: NULL embeddings can never be candidates — they get a
+    NULL signature (skipped by banding) instead of hard-failing the job."""
+    from neontology_spark.similarity import (
+        embedding_near_duplicates,
+        with_hyperplane_signature,
+    )
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in with_hyperplane_signature(df, dim=4).collect()
+    }
+    assert sigs[3] is None
+    assert sigs[1] == sigs[2] and sigs[1] is not None
+    pairs = embedding_near_duplicates(df, threshold=0.99, dim=4).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_broadcast_signature_matches_literal_form(spark, vectors):
+    """The broadcast-matrix signature must be bit-identical to the
+    literal-plane inline form (same planes, same arithmetic order)."""
+    from neontology_spark.similarity import (
+        _infer_dim,
+        hyperplane_signature,
+        with_hyperplane_signature,
+    )
+
+    dim = _infer_dim(vectors, "embedding")
+    lit = {
+        r["vec_id"]: r["sig"]
+        for r in vectors.select(
+            "vec_id", hyperplane_signature("embedding", 16, dim).alias("sig")
+        ).collect()
+    }
+    bc = {
+        r["vec_id"]: r["sig"]
+        for r in with_hyperplane_signature(
+            vectors, "embedding", "sig", 16, dim
+        ).select("vec_id", "sig").collect()
+    }
+    assert lit == bc
+
+
+def test_plan_stays_bounded_at_production_dim(spark):
+    """VERDICT r3 #1 'done' check: at dim=1024 the broadcast-matrix form
+    keeps the plan O(1) in matrix size, where the literal form embeds
+    num_planes x dim literal nodes. Compared via the JVM expression
+    string (a direct proxy for plan-node count), plus an end-to-end run
+    at dim=1024 to prove the broadcast path executes."""
+    from neontology_spark.similarity import (
+        _signature_from_matrix,
+        hyperplane_signature,
+        with_hyperplane_signature,
+    )
+
+    dim, planes = 1024, 32
+    lit_len = len(str(hyperplane_signature("embedding", planes, dim)))
+    bc_len = len(str(_signature_from_matrix("embedding", "_planes", dim)))
+    assert bc_len < 5_000  # one matrix reference, independent of planes x dim
+    assert lit_len > 100 * bc_len  # the literal form really is the blowup
+
+    vec = [float((i * 37) % 13) - 6.0 for i in range(dim)]
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=vec), Row(vec_id=2, embedding=vec)],
+        "vec_id long, embedding array<double>",
+    )
+    out = with_hyperplane_signature(df, dim=dim, num_planes=planes).collect()
+    assert all(len(r["sig"]) == planes for r in out)
+    assert out[0]["sig"] == out[1]["sig"]
+
+
+def test_ivf_centroid_matrix_plan_bounded(spark):
+    """Same bound for the IVF side: corpus assignment + query dot arrays
+    read the centroid matrix from one broadcast column."""
+    from neontology_spark.similarity import _dots_from_matrix
+
+    assert len(str(_dots_from_matrix("embedding", "_cents"))) < 2_000
