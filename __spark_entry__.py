@@ -1004,8 +1004,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
     )
-    union = docs.unionByName(planted)
-    g = exact_duplicate_groups(union)
+    # 51-member mega-group (doc 1 + 50 copies): exercises the bounded
+    # doc_ids cap (max_ids=20) — n_docs stays exact, the id list does not
+    big = docs.filter(F.col("doc_id") == 1).crossJoin(
+        spark.range(50)
+    ).select(
+        (F.col("id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    union = docs.unionByName(planted).unionByName(big)
+    g = exact_duplicate_groups(union, max_ids=20)
     return g.select(
         "fp_md5", "n_docs", F.array_join(F.transform("doc_ids", lambda d: d.cast("string")), ",").alias("doc_ids")
     ).orderBy("fp_md5")
@@ -1016,10 +1023,13 @@ WITH unioned AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT 200000 + t.i, d.text FROM documents d CROSS JOIN range(50) t(i)
+  WHERE d.doc_id = 1
 )
 SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
        count(*) AS n_docs,
-       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+       array_to_string(list_sort(list(doc_id))[1:20], ',') AS doc_ids
 FROM unioned
 GROUP BY 1 HAVING count(*) > 1 ORDER BY fp_md5
 """
@@ -1549,6 +1559,80 @@ ORDER BY c_custkey
 """
 
 
+# F4 — match_relationships: edge table hydrated with BOTH endpoint tables
+# (source_/target_ prefixes, graphengine.py:403-448), keyset-paged with the
+# tie-break third key (parallel edges per endpoint pair share (source,
+# target); okey disambiguates — ADVICE r3). Oracle = plain two-join SQL
+# with the same composite seek predicate.
+def q_f4_match_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.models import NodeModel, Property, RelationshipModel
+    from neontology_spark.nodes import match_relationships
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.col("o_custkey").alias("source"),
+        F.pmod(F.col("o_custkey"), F.lit(25)).alias("target"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    cust_model = NodeModel(
+        label="CustomerF4",
+        primary_property="c_custkey",
+        properties=[Property("c_custkey", int), Property("c_name", str)],
+    )
+    nation_model = NodeModel(
+        label="NationF4",
+        primary_property="n_nationkey",
+        properties=[Property("n_nationkey", int), Property("n_name", str)],
+    )
+    rmodel = RelationshipModel(
+        rel_type="ORDERED_F4",
+        source_label="CustomerF4",
+        target_label="NationF4",
+        properties=[Property("okey", int), Property("price", float)],
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    page = match_relationships(
+        edges,
+        rmodel,
+        cust,
+        nation,
+        cust_model,
+        nation_model,
+        limit=25,
+        after=(3, 3, 0),
+        tie_break="okey",
+    )
+    return page.select(
+        "source",
+        "target",
+        "okey",
+        F.round("price", 2).alias("price"),
+        "source_c_name",
+        "target_n_name",
+    ).orderBy("source", "target", "okey")
+
+
+O_F4 = """
+WITH edges AS (
+  SELECT o_custkey AS source, o_custkey % 25 AS target,
+         o_orderkey AS okey, o_totalprice AS price
+  FROM orders
+)
+SELECT e.source, e.target, e.okey, round(e.price, 2) AS price,
+       c.c_name AS source_c_name, n.n_name AS target_n_name
+FROM edges e
+JOIN customer c ON e.source = c.c_custkey
+JOIN nation n ON e.target = n.n_nationkey
+WHERE (e.source > 3)
+   OR (e.source = 3 AND e.target > 3)
+   OR (e.source = 3 AND e.target = 3 AND e.okey > 0)
+ORDER BY e.source, e.target, e.okey
+LIMIT 25
+"""
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1600,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _shipped(q_stratified_sample),
         "dedup_near_pipeline": _shipped(q_dedup_near_pipeline),
         "text_quality_filter": _shipped(q_text_quality_filter),
+        "f4_match_relationships": _shipped(q_f4_match_relationships),
     }
 
 
@@ -1645,4 +1730,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": O_STRATIFIED,
         "dedup_near_pipeline": O_NEAR_PIPELINE,
         "text_quality_filter": O_TEXT_FILTER,
+        "f4_match_relationships": O_F4,
     }

@@ -294,3 +294,25 @@ def test_ivf_centroid_matrix_plan_bounded(spark):
     from neontology_spark.similarity import _dots_from_matrix
 
     assert len(str(_dots_from_matrix("embedding", "_cents"))) < 2_000
+
+
+def test_exact_groups_bounded_member_list(spark):
+    """VERDICT r3 #3: a 10k-member boilerplate group must not produce an
+    unbounded collect_list row — n_docs stays exact, doc_ids caps at
+    max_ids (the smallest ids, sorted)."""
+    big = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text").alias("text")
+    )
+    extra = spark.createDataFrame(
+        [Row(doc_id=20_000, text="unique text"),
+         Row(doc_id=20_001, text="unique text")]
+    )
+    out = exact_duplicate_groups(big.unionByName(extra), max_ids=16).collect()
+    by_n = {r["n_docs"]: r for r in out}
+    assert set(by_n) == {10_000, 2}
+    assert by_n[10_000]["doc_ids"] == list(range(16))
+    assert by_n[2]["doc_ids"] == [20_000, 20_001]
+    unbounded = exact_duplicate_groups(
+        big.limit(100), max_ids=None
+    ).collect()
+    assert len(unbounded[0]["doc_ids"]) == 100

@@ -172,3 +172,35 @@ def test_match_relationships_keyset_paging(spark, setup):
             edges, rel, people, teams, person, team, limit=2, skip=1,
             after=("a", "b"),
         )
+
+
+def test_match_relationships_tie_break_paging(spark, setup):
+    """ADVICE r3: with parallel edges per endpoint pair, 2-key seek can
+    skip tied rows at a page boundary; the tie_break third key makes
+    pages disjoint AND exhaustive."""
+    person, team, rel, people, teams, _ = setup
+    edges = spark.createDataFrame(
+        [("alice", "reds", k) for k in range(5)]
+        + [("bob", "reds", 0), ("carol", "blues", 0)],
+        "source string, target string, seq long",
+    )
+    pages, last = [], None
+    while True:
+        kw = {"after": last, "tie_break": "seq"} if last else {"tie_break": "seq"}
+        page = match_relationships(
+            edges, rel, people, teams, person, team, limit=2, **kw
+        ).collect()
+        if not page:
+            break
+        pages.extend((r["source"], r["target"], r["seq"]) for r in page)
+        last = (page[-1]["source"], page[-1]["target"], page[-1]["seq"])
+    assert len(pages) == len(set(pages)) == 7  # no skips inside the tie group
+    assert [p for p in pages if p[0] == "alice"] == [
+        ("alice", "reds", k) for k in range(5)
+    ]
+
+    with pytest.raises(ValueError):
+        match_relationships(
+            edges, rel, people, teams, person, team,
+            after=("alice", "reds"), tie_break="seq",
+        )
