@@ -1035,6 +1035,69 @@ GROUP BY 1 HAVING count(*) > 1 ORDER BY fp_md5
 """
 
 
+# DEDUP — paragraph-level: every doc gets 3 paragraphs (own text, a
+# shared boilerplate footer, its own text upper-cased = a within-doc dup
+# after normalization); dedupe keeps only the globally-first occurrence
+# of each normalized paragraph and rebuilds the text. Oracle = the same
+# split/fingerprint/row_number/string_agg pipeline in DuckDB.
+_PARA_BOILER = "common boilerplate footer paragraph for every document"
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.dedup import dedupe_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", F.col("text"), F.lit(_PARA_BOILER), F.upper(F.col("text"))
+        ).alias("text"),
+    )
+    out = dedupe_paragraphs(multi)
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
+O_DEDUP_PARAS = r"""
+WITH multi AS (
+  SELECT doc_id,
+         text || chr(10)||chr(10)
+              || 'common boilerplate footer paragraph for every document'
+              || chr(10)||chr(10) || upper(text) AS text
+  FROM documents WHERE doc_id < 200
+),
+paras AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10)||chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10)||chr(10)), 1) AS para_idx
+  FROM multi
+),
+fp AS (
+  SELECT doc_id, para_idx, para,
+         md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS fp_md5
+  FROM paras
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY fp_md5 ORDER BY doc_id, para_idx) AS rn
+    FROM fp) WHERE rn = 1
+),
+totals AS (SELECT doc_id, count(*) AS n_paras FROM fp GROUP BY 1),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10)||chr(10) ORDER BY para_idx) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.text, '')) AS text_md5
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # DEDUP — n-gram Jaccard pairs via inverted shingle index
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neontology_spark.dedup import jaccard_pairs
@@ -1685,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_pipeline": _shipped(q_dedup_near_pipeline),
         "text_quality_filter": _shipped(q_text_quality_filter),
         "f4_match_relationships": _shipped(q_f4_match_relationships),
+        "dedup_paragraphs": _shipped(q_dedup_paragraphs),
     }
 
 
@@ -1731,4 +1795,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_pipeline": O_NEAR_PIPELINE,
         "text_quality_filter": O_TEXT_FILTER,
         "f4_match_relationships": O_F4,
+        "dedup_paragraphs": O_DEDUP_PARAS,
     }

@@ -9,6 +9,7 @@ Spark DataFrame predicates, designed for Iceberg/Parquet tables at
 
 from .filters import FilterError, compile_filters
 from .identifiers import InvalidIdentifierError, check_identifier
+from .query import QueryResult, register_graph, run_query, run_query_single
 from .models import (
     MergePolicy,
     ModelCatalog,
@@ -30,9 +31,11 @@ from . import (  # noqa: F401  (public module surface)
     filters,
     fused,
     images,
+    merge_sql,
     models,
     multimodal,
     nodes,
+    query,
     relationships,
     sampling,
     similarity,
@@ -58,4 +61,8 @@ __all__ = [
     "UniquenessConstraint",
     "UnsupportedTypeError",
     "resolve_type",
+    "QueryResult",
+    "register_graph",
+    "run_query",
+    "run_query_single",
 ]

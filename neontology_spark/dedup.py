@@ -96,6 +96,107 @@ def dedupe_exact(
 
 
 # ---------------------------------------------------------------------------
+# paragraph-level dedup (VERDICT r3 #8: the within/cross-document
+# duplication doc-level MinHash misses — boilerplate headers/footers,
+# repeated license blocks — the standard LLM-curation stage between
+# exact-doc dedup and near-dup)
+# ---------------------------------------------------------------------------
+
+
+def split_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, para_idx, para, fp_md5) — text split on blank lines
+    (``\\n\\n``), one row per paragraph, 1-based index, md5 fingerprint
+    of the normalized paragraph. Pure explode + column exprs: linear in
+    corpus size, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("_i", "para"),
+    ).select(
+        "id",
+        (F.col("_i") + 1).alias("para_idx"),
+        "para",
+        F.md5(normalize_text("para")).alias("fp_md5"),
+    )
+
+
+def paragraph_duplicate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 20,
+    min_chars: int = 0,
+) -> DataFrame:
+    """(fp_md5, n_occurrences, n_docs, doc_ids) per duplicated paragraph.
+    ``doc_ids`` is bounded to the ``max_ids`` smallest distinct doc ids
+    (same mega-group rationale as ``exact_duplicate_groups``);
+    ``min_chars`` drops tiny normalized paragraphs (empty lines,
+    separators) from the report."""
+    p = split_paragraphs(df, text_col, id_col)
+    if min_chars > 0:
+        p = p.filter(F.length(normalize_text("para")) >= min_chars)
+    counts = p.groupBy("fp_md5").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    per_doc = p.select("fp_md5", "id").dropDuplicates()
+    w = Window.partitionBy("fp_md5").orderBy(F.col("id").asc())
+    ids = (
+        per_doc.withColumn("_rn", F.row_number().over(w))
+        .groupBy("fp_md5")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("id")))
+            ).alias("doc_ids")
+        )
+    )
+    return counts.filter(F.col("n_occurrences") > 1).join(ids, "fp_md5")
+
+
+def dedupe_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Remove every paragraph occurrence except the globally FIRST
+    (smallest (doc_id, para_idx)) and rebuild each document's text —
+    (id_col, n_paras, n_kept, text).
+
+    Scale shape: explode (linear, no shuffle) → ONE shuffle on the
+    paragraph fingerprint (row_number window; fingerprints are uniform,
+    no hot keys beyond true boilerplate — which is exactly what gets
+    dropped) → one groupBy(doc) rebuild. Documents reduced to zero
+    paragraphs survive with empty text (kept-row accounting intact)."""
+    p = split_paragraphs(df, text_col, id_col)
+    w = Window.partitionBy("fp_md5").orderBy(
+        F.col("id").asc(), F.col("para_idx").asc()
+    )
+    kept = p.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col),
+    )
+    totals = p.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles + n-gram Jaccard
 # ---------------------------------------------------------------------------
 

@@ -122,3 +122,39 @@ def test_sample_null_keys_never_sampled(spark):
     out = deterministic_sample(df, "k", 1.0 - 1e-9)  # ~everything
     keys = {r["k"] for r in out.collect()}
     assert None not in keys and keys <= {"a", "b"}
+
+
+def test_components_long_chain_stress_log_rounds(spark):
+    """VERDICT r3 #7: a 10k-node path graph. Plain hash-min needs
+    O(diameter)=10^4 rounds; with the pointer-doubling shortcut the
+    fixpoint must arrive in <= 18 rounds (~log2 growth per round) —
+    on_truncate='raise' turns a miss into a hard failure, so passing IS
+    the round-count assertion."""
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comp = connected_components(pairs, max_iter=18, on_truncate="raise")
+    agg = comp.agg(
+        F.countDistinct("comp").alias("ncomp"),
+        F.count("*").alias("nodes"),
+        F.max("comp").alias("maxc"),
+    ).first()
+    assert (agg["ncomp"], agg["nodes"], agg["maxc"]) == (1, n, 0)
+
+
+def test_components_truncation_warns_and_raises(spark):
+    """ADVICE r3: exiting via max_iter without the fixpoint must not be
+    silent — the labels may split components."""
+    import warnings as W
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="fixpoint not reached"):
+        connected_components(pairs, max_iter=1)
+    with pytest.raises(RuntimeError, match="fixpoint not reached"):
+        connected_components(pairs, max_iter=1, on_truncate="raise")
+    with W.catch_warnings():
+        W.simplefilter("error")  # silent mode really is silent
+        connected_components(pairs, max_iter=1, on_truncate="ignore")

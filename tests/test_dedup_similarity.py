@@ -316,3 +316,39 @@ def test_exact_groups_bounded_member_list(spark):
         big.limit(100), max_ids=None
     ).collect()
     assert len(unbounded[0]["doc_ids"]) == 100
+
+
+def test_paragraph_duplicate_groups(spark):
+    from neontology_spark.dedup import paragraph_duplicate_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\n\nSHARED FOOTER\n\nshared footer"),  # within-doc dup
+            (2, "unique two\n\nshared  footer"),
+            (3, "unique three"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = paragraph_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_occurrences"] == 3 and g["n_docs"] == 2
+    assert g["doc_ids"] == [1, 2]
+
+
+def test_dedupe_paragraphs_first_occurrence_wins(spark):
+    from neontology_spark.dedup import dedupe_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nfooter text"),
+            (2, "beta\n\nFooter   Text"),   # dup of doc 1's footer
+            (3, "footer text"),              # entire doc is a dup → empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedupe_paragraphs(docs).collect()}
+    assert out[1]["text"] == "alpha\n\nfooter text" and out[1]["n_kept"] == 2
+    assert out[2]["text"] == "beta" and out[2]["n_kept"] == 1
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert all(out[i]["n_paras"] == n for i, n in [(1, 2), (2, 2), (3, 1)])
