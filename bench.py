@@ -233,7 +233,19 @@ def validation_suite_df_percheck(spark, images, images_path=None):
     return dt, n_rows
 
 
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def main() -> None:
+    """Each query runs N_RUNS times (default 3) in suite-level rounds
+    (round-robin, so one co-tenant noise burst cannot poison all of a
+    query's samples); reported per-query time = MEDIAN, with the
+    relative spread ((max-min)/median) published alongside. VERDICT r3
+    'What's wrong' #3: single-shot timings on this ~2-3x-noisy shared
+    host made regression calls unfalsifiable — medians + disclosed
+    spread make them checkable."""
+    import statistics
+
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -242,31 +254,44 @@ def main() -> None:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         validation_suite(spark, images_path)  # warm plan cache + workers
 
-        timings: dict[str, float] = {}
-
-        t0 = time.time()
-        val_sec, n_rows = validation_suite(spark, images_path)
-        timings["validation_suite"] = round(val_sec, 3)
-
         import __spark_entry__ as entrymod
 
-        for name, fn in sorted(entrymod.queries().items()):
-            t = time.time()
-            df = fn(spark, SF_DIR)
-            df.count()
-            timings[name] = round(time.time() - t, 3)
+        samples: dict[str, list[float]] = {}
+        val_secs: list[float] = []
+        n_rows = 0
+        for _ in range(N_RUNS):
+            val_sec, n_rows = validation_suite(spark, images_path)
+            val_secs.append(val_sec)
+            samples.setdefault("validation_suite", []).append(val_sec)
+            for name, fn in sorted(entrymod.queries().items()):
+                t = time.time()
+                fn(spark, SF_DIR).count()
+                samples.setdefault(name, []).append(time.time() - t)
 
+        timings = {
+            name: round(statistics.median(ts), 3)
+            for name, ts in samples.items()
+        }
+        spread = {
+            name: round(
+                (max(ts) - min(ts)) / statistics.median(ts), 3
+            )
+            for name, ts in samples.items()
+        }
+        val_med = statistics.median(val_secs)
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
                 {
-                    "metric": "headline suite wall time",
+                    "metric": "headline suite wall time (per-query medians)",
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "queries_rel_spread": spread,
+                    "n_runs": N_RUNS,
                     "sf": SF,
                     "image_rows": n_rows,
-                    "validation_rows_per_sec": round(n_rows / val_sec, 1),
+                    "validation_rows_per_sec": round(n_rows / val_med, 1),
                     "psnr_sample_rows": PSNR_SAMPLE_ROWS,
                     "cpus": CPUS,
                 }
