@@ -1231,6 +1231,36 @@ FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id
 """
 
 
+# SIMILARITY — IVF over the PERSISTED cluster-partitioned index: same
+# planted-exact-duplicate oracle as ivf_ann (identical vector → same
+# cluster → always probed → top-1 at cos 1.0), but the probe reads the
+# materialized inverted file with a static cluster IN (...) partition
+# filter — the physical partition-pruning path a 10^12-vector corpus
+# needs (plan shape asserted in tests/test_dedup_similarity.py).
+def q_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from neontology_spark.similarity import (
+        ivf_topk_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=1)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/neontology_bench/ivf_index_{sf_tag}"
+    write_ivf_index(emb, path, cents)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = ivf_topk_indexed(spark, path, queries_df, cents, k=1, n_probe=2)
+    return out.select("query_id", "vec_id", "cos").orderBy("query_id")
+
+
+O_IVF_INDEXED = O_IVF
+
+
 # DEDUP — MinHash LSH + SimHash near-dup with DETERMINISTIC oracles:
 # planted EXACT duplicates have identical signatures, so they collide in
 # every band/chunk (recall exactly 1.0) and pass the estimate filter at
@@ -1749,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": _shipped(q_text_quality_filter),
         "f4_match_relationships": _shipped(q_f4_match_relationships),
         "dedup_paragraphs": _shipped(q_dedup_paragraphs),
+        "ivf_ann_indexed": _shipped(q_ivf_ann_indexed),
     }
 
 
@@ -1796,4 +1827,5 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_filter": O_TEXT_FILTER,
         "f4_match_relationships": O_F4,
         "dedup_paragraphs": O_DEDUP_PARAS,
+        "ivf_ann_indexed": O_IVF_INDEXED,
     }

@@ -459,6 +459,92 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# persisted IVF index — the inverted file as a cluster-partitioned table
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file as a parquet table PARTITIONED BY
+    cluster (``.../cluster=<k>/``). This turns IVF's probe-pruning
+    promise into physical I/O pruning: a query that probes 4 of 1024
+    clusters lists and reads ONLY those 4 directories — at 10^12 vectors
+    the difference between scanning ~0.4% and 100% of the index. On
+    Iceberg the same layout is a ``PARTITIONED BY (cluster)`` table and
+    the pruning is manifest-level. Assignment reuses the broadcast
+    centroid matrix column (one plan node at any n_centroids × dim)."""
+    inv = _with_matrix(corpus, centroids, "_cents").select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _cluster_from_dots(_dots_from_matrix(vec_col, "_cents")).alias("cluster"),
+    )
+    inv.write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over a persisted IVF index with STATIC partition pruning.
+
+    The set of probed clusters across ALL queries is at most
+    ``n_centroids`` values (tiny, independent of query count), so it is
+    collected and pushed as a literal ``cluster IN (...)`` filter — the
+    scan's PartitionFilters then skip every unprobed directory at file-
+    listing time (plan-shape asserted in tests). Dynamic partition
+    pruning would achieve the same lazily; the static form is verifiable
+    in the plan and engine-portable. Results are identical to
+    ``ivf_topk`` with the same centroids (parity-tested)."""
+    n_centroids = len(centroids)
+    qdots = _with_matrix(queries, centroids, "_cents").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _dots_from_matrix(vec_col, "_cents").alias("_dots"),
+    )
+    probed = qdots.select(
+        "query_id", "qv", F.posexplode("_dots").alias("cluster", "_dot")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_dot").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        probed.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "cluster")
+        .persist()
+    )
+    # ≤ n_centroids ints — a provably tiny driver collect
+    clusters = [
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
+    ]
+    assert len(clusters) <= n_centroids
+    inv = spark.read.parquet(index_path).filter(F.col("cluster").isin(clusters))
+    cand = probes.join(inv, "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.98,

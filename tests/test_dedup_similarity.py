@@ -352,3 +352,42 @@ def test_dedupe_paragraphs_first_occurrence_wins(spark):
     assert out[2]["text"] == "beta" and out[2]["n_kept"] == 1
     assert out[3]["text"] == "" and out[3]["n_kept"] == 0
     assert all(out[i]["n_paras"] == n for i, n in [(1, 2), (2, 2), (3, 1)])
+
+
+def test_ivf_indexed_parity_and_partition_pruning(spark, vectors, tmp_path):
+    """The persisted cluster-partitioned IVF index must (a) return
+    exactly what in-memory ivf_topk returns for the same centroids, and
+    (b) prune unprobed cluster directories at the scan (PartitionFilters
+    in the physical plan)."""
+    from neontology_spark.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_ivf_centroids(vectors, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(vectors, path, cents)
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("cluster=")]
+    assert len(dirs) == len({d for d in dirs}) and len(dirs) >= 2
+
+    queries = vectors.limit(4)
+    expected = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(
+            vectors, queries, k=3, n_probe=2, centroids=cents
+        ).collect()
+    }
+    out = ivf_topk_indexed(spark, path, queries, cents, k=3, n_probe=2)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()}
+    assert got == expected and len(got) > 0
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index scan (not the query-side scan) must carry a non-empty
+    # partition filter over cluster
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan), plan
