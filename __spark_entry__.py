@@ -1035,6 +1035,60 @@ GROUP BY 1 HAVING count(*) > 1 ORDER BY fp_md5
 """
 
 
+# DEDUP — incremental ingest against a persisted fingerprint store:
+# batch2 rows whose normalized text was already seen in batch1 (planted
+# re-ingests at +700000) drop via the store anti-join; a planted
+# within-batch dup (id 800000 = copy of doc 300) drops via keep-first.
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.dedup import dedupe_exact_incremental
+    from neontology_spark.textops import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    batch1 = docs.filter(F.col("doc_id") < 300)
+    seen = batch1.select(fingerprint_md5("text").alias("fp_md5")).dropDuplicates()
+    batch2 = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600))
+        .select("doc_id", "text")
+        .unionByName(
+            batch1.filter(F.col("doc_id") % 40 == 0).select(
+                (F.col("doc_id") + 700000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 300).select(
+                F.lit(800000).alias("doc_id"), "text"
+            )
+        )
+    )
+    kept, updated = dedupe_exact_incremental(batch2, seen)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+O_DEDUP_INCR = r"""
+WITH seen AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id < 300
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 600
+  UNION ALL
+  SELECT doc_id + 700000, text FROM documents WHERE doc_id < 300 AND doc_id % 40 = 0
+  UNION ALL
+  SELECT 800000, text FROM documents WHERE doc_id = 300
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM batch
+),
+keep_first AS (
+  SELECT doc_id, fp FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS m FROM fp) WHERE doc_id = m
+)
+SELECT doc_id FROM keep_first WHERE fp NOT IN (SELECT fp FROM seen)
+ORDER BY doc_id
+"""
+
+
 # DEDUP — paragraph-level: every doc gets 3 paragraphs (own text, a
 # shared boilerplate footer, its own text upper-cased = a within-doc dup
 # after normalization); dedupe keeps only the globally-first occurrence
@@ -1780,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_match_relationships": _shipped(q_f4_match_relationships),
         "dedup_paragraphs": _shipped(q_dedup_paragraphs),
         "ivf_ann_indexed": _shipped(q_ivf_ann_indexed),
+        "dedup_incremental": _shipped(q_dedup_incremental),
     }
 
 
@@ -1828,4 +1883,5 @@ def oracle_sql() -> dict[str, str]:
         "f4_match_relationships": O_F4,
         "dedup_paragraphs": O_DEDUP_PARAS,
         "ivf_ann_indexed": O_IVF_INDEXED,
+        "dedup_incremental": O_DEDUP_INCR,
     }

@@ -21,7 +21,12 @@ from .referential import (
     resolve_endpoints,
     unmatched_rows,
 )
-from .stats import column_stats
+from .stats import (
+    column_stats,
+    distinct_sketches,
+    sketch_distinct_estimates,
+    union_distinct_sketches,
+)
 
 __all__ = [
     "VIOLATION_SCHEMA",
@@ -42,4 +47,7 @@ __all__ = [
     "resolve_endpoints",
     "unmatched_rows",
     "column_stats",
+    "distinct_sketches",
+    "union_distinct_sketches",
+    "sketch_distinct_estimates",
 ]

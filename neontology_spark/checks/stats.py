@@ -113,3 +113,67 @@ def column_stats(
             F.col("s.max_value").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# persistable HLL sketches — incremental / mergeable distinct counts
+# ---------------------------------------------------------------------------
+#
+# approx_count_distinct gives a NUMBER; these give the SKETCH (Apache
+# DataSketches HLL, Spark 4 hll_sketch_agg family) as a binary column you
+# can persist in the audit table. The 100 TB property: distinct counts
+# become INCREMENTAL — sketch each ingest batch (or partition), persist,
+# and union sketches to get the updated global distinct without ever
+# rescanning history. Union is lossless and associative, so
+#   estimate(union(sk(A), sk(B))) == estimate(sk(A ∪ B))
+# exactly (pytest-asserted), and per-partition sketches roll up to any
+# grouping after the fact.
+
+
+def distinct_sketches(
+    df: DataFrame,
+    columns: Sequence[str],
+    part_col: Optional[str] = None,
+    lgk: int = 12,
+) -> DataFrame:
+    """One-pass HLL sketches, long format: (part, column, sketch).
+    Values are stringified before sketching so every column type (and
+    any engine re-reading the audit table with the same convention)
+    hashes identically; NULLs are not counted. ``lgk`` trades sketch
+    size (2^lgk buckets) for accuracy."""
+    cols = [c for c in columns if c != part_col]
+    aggs = [
+        F.hll_sketch_agg(F.col(c).cast("string"), lgk).alias(f"__sk_{c}")
+        for c in cols
+    ]
+    if part_col is None:
+        wide = df.groupBy(F.lit(None).cast("long").alias("part")).agg(*aggs)
+    else:
+        wide = df.groupBy(F.col(part_col).cast("long").alias("part")).agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"), F.col(f"__sk_{c}").alias("sketch")
+            )
+            for c in cols
+        ]
+    )
+    return wide.select("part", F.explode(per_col).alias("s")).select(
+        "part", F.col("s.column").alias("column"), F.col("s.sketch").alias("sketch")
+    )
+
+
+def union_distinct_sketches(sketches: DataFrame) -> DataFrame:
+    """Roll sketches up across parts/batches/runs: (column, sketch).
+    Feed it the unionByName of any number of ``distinct_sketches``
+    outputs (this run's + the audit table's persisted history)."""
+    return sketches.groupBy("column").agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+
+
+def sketch_distinct_estimates(sketches: DataFrame) -> DataFrame:
+    """(column, n_distinct) estimates from (column, sketch) rows."""
+    return sketches.select(
+        "column", F.hll_sketch_estimate("sketch").alias("n_distinct")
+    )

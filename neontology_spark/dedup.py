@@ -95,6 +95,41 @@ def dedupe_exact(
     return df.join(keep, id_col, "left_semi")
 
 
+def dedupe_exact_incremental(
+    batch: DataFrame,
+    seen_fps: Optional[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ingest dedup: drop batch rows whose normalized-content
+    fingerprint is already in the persisted ``seen_fps`` store (one
+    ``fp_md5`` column) or duplicated within the batch (keep lowest id).
+    Returns ``(kept_rows, updated_fps)`` — persist ``updated_fps`` (or
+    append only the new fps) as the next run's store.
+
+    This is how exact dedup actually runs at 100 TB: the corpus is never
+    rescanned; each ingest batch joins against the fingerprint store on
+    ``fp_md5``. The store join is a shuffle on the fingerprint — write
+    the store BUCKETED BY fp_md5 (bucketing.py) and the recurring join
+    is Exchange-free on the store side. Batch-side cost is one
+    fingerprint projection + two map-side-combinable aggregations
+    (same shape as ``dedupe_exact``)."""
+    fp = F.md5(normalize_text(text_col))
+    fresh = dedupe_exact(batch, text_col, id_col).withColumn("_fp", fp)
+    if seen_fps is not None:
+        fresh = fresh.join(
+            seen_fps.select(F.col("fp_md5").alias("_fp")), "_fp", "left_anti"
+        )
+    kept = fresh.drop("_fp")
+    new_fps = fresh.select(F.col("_fp").alias("fp_md5")).dropDuplicates()
+    updated = (
+        new_fps
+        if seen_fps is None
+        else seen_fps.select("fp_md5").unionByName(new_fps).dropDuplicates()
+    )
+    return kept, updated
+
+
 # ---------------------------------------------------------------------------
 # paragraph-level dedup (VERDICT r3 #8: the within/cross-document
 # duplication doc-level MinHash misses — boilerplate headers/footers,

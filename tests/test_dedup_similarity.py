@@ -391,3 +391,32 @@ def test_ivf_indexed_parity_and_partition_pruning(spark, vectors, tmp_path):
     # the index scan (not the query-side scan) must carry a non-empty
     # partition filter over cluster
     assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan), plan
+
+
+def test_dedupe_exact_incremental(spark):
+    """Ingest-path dedup against a persisted fingerprint store: seen
+    content drops, within-batch dups keep the lowest id, the store
+    grows by exactly the new fingerprints."""
+    from neontology_spark.dedup import dedupe_exact_incremental
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    kept1, fps1 = dedupe_exact_incremental(b1, None)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+    assert fps1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA   text"),   # seen in b1 (normalized) → drop
+            (11, "gamma text"),
+            (12, "Gamma Text"),     # within-batch dup → keep 11
+        ],
+        "doc_id long, text string",
+    )
+    kept2, fps2 = dedupe_exact_incremental(b2, fps1)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+    assert fps2.count() == 3  # alpha, beta, gamma
+    # re-ingesting the same batch against the updated store drops all
+    kept3, fps3 = dedupe_exact_incremental(b2, fps2)
+    assert kept3.count() == 0 and fps3.count() == 3

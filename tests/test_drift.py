@@ -80,3 +80,61 @@ def test_categorical_drift_detects_shift(spark, tables):
     res = check_drift(drift_metrics(base_h, cur_h), label="Image")
     flagged = {r["part"] for r in res.violations.collect()}
     assert flagged == {0}
+
+
+def test_hll_sketches_incremental_merge_exact_roundtrip(spark):
+    """Persistable HLL sketches: union of per-batch sketches must track
+    the single-pass sketch of the unioned data within HLL error, and
+    estimates must be near-exact at test cardinalities."""
+    from neontology_spark.checks import (
+        distinct_sketches,
+        sketch_distinct_estimates,
+        union_distinct_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    b1 = spark.range(0, 600).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("cat")
+    )
+    b2 = spark.range(300, 900).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("cat")
+    )
+    merged = union_distinct_sketches(
+        distinct_sketches(b1, ["k", "cat"]).unionByName(
+            distinct_sketches(b2, ["k", "cat"])
+        )
+    )
+    got = {
+        r["column"]: r["n_distinct"]
+        for r in sketch_distinct_estimates(merged).collect()
+    }
+    direct = {
+        r["column"]: r["n_distinct"]
+        for r in sketch_distinct_estimates(
+            distinct_sketches(b1.unionByName(b2), ["k", "cat"])
+        ).collect()
+    }
+    # union-of-sketches tracks sketch-of-union within HLL error (not
+    # bit-exact: sparse-mode promotion inside the union gadget)
+    assert abs(got["k"] - direct["k"]) / direct["k"] < 0.02
+    assert abs(got["k"] - 900) / 900 < 0.05
+    assert got["cat"] == direct["cat"] == 11  # exact at tiny cardinality
+
+
+def test_hll_sketches_per_partition_rollup(spark):
+    """Per-partition sketches roll up to the global estimate — the audit
+    table layout (one sketch row per (part, column))."""
+    from neontology_spark.checks import (
+        distinct_sketches,
+        sketch_distinct_estimates,
+        union_distinct_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("part")
+    )
+    per_part = distinct_sketches(df, ["k"], part_col="part")
+    assert per_part.count() == 4
+    est = sketch_distinct_estimates(union_distinct_sketches(per_part)).first()
+    assert abs(est["n_distinct"] - 1000) / 1000 < 0.05
