@@ -1035,6 +1035,32 @@ GROUP BY 1 HAVING count(*) > 1 ORDER BY fp_md5
 """
 
 
+# TEXT — corpus token-frequency top-k (vocabulary head): explode + one
+# map-side-combinable groupBy + TakeOrderedAndProject; ties at the k
+# boundary break on token asc in both engines.
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.textops import top_tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return top_tokens(docs, "text", id_col="doc_id", k=50).orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    )
+
+
+O_TOP_TOKENS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS token
+  FROM documents WHERE doc_id < 500
+)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 50
+"""
+
+
 # DEDUP — incremental ingest against a persisted fingerprint store:
 # batch2 rows whose normalized text was already seen in batch1 (planted
 # re-ingests at +700000) drop via the store anti-join; a planted
@@ -1835,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _shipped(q_dedup_paragraphs),
         "ivf_ann_indexed": _shipped(q_ivf_ann_indexed),
         "dedup_incremental": _shipped(q_dedup_incremental),
+        "text_top_tokens": _shipped(q_text_top_tokens),
     }
 
 
@@ -1884,4 +1911,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": O_DEDUP_PARAS,
         "ivf_ann_indexed": O_IVF_INDEXED,
         "dedup_incremental": O_DEDUP_INCR,
+        "text_top_tokens": O_TOP_TOKENS,
     }

@@ -14,6 +14,8 @@ oracle checks) and xxhash64 (faster, for internal joins).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,4 +143,53 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_language(text_col).alias("lang_detected"),
         F.round(quality_score(text_col), 6).alias("quality"),
         fingerprint_md5(text_col).alias("fp_md5"),
+    )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: Optional[str] = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token-frequency table: (token, n_occurrences, n_docs).
+    Tokens come from the same normalization the fingerprints use, so a
+    token's counts are stable across engines. ``id_col`` is the document
+    identity for ``n_docs``; when None a synthetic per-row id is used
+    (same counts, engine-internal).
+
+    Scale shape: one explode (linear) → ONE map-side-combinable groupBy
+    on the token; token frequency is Zipfian, but sum/count aggregation
+    handles hot keys with partial aggregates — no salting needed (unlike
+    collect-style aggs). ``min_count`` prunes the long tail BEFORE any
+    driver-side consumption (at web scale the tail is ~all distinct
+    tokens)."""
+    toks = F.array_remove(F.split(normalize_text(text_col), " "), "")
+    ident = (
+        F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    )
+    per_doc = df.select(ident.alias("_d"), F.explode(toks).alias("token"))
+    out = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("_d").alias("n_docs"),
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    return out
+
+
+def top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: Optional[str] = None,
+    k: int = 100,
+) -> DataFrame:
+    """The k most frequent tokens with occurrence and document counts,
+    deterministically ordered (count desc, token asc). ``orderBy().
+    limit(k)`` compiles to TakeOrderedAndProject — per-partition top-k
+    heaps merged on the driver, no global sort Exchange."""
+    return (
+        token_frequencies(df, text_col, id_col)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
     )

@@ -89,3 +89,30 @@ def test_runs_on_driver_documents(spark, sf_dir):
     prof = textops.profile_documents(docs)
     n = prof.filter(F.col("n_tokens") > 0).count()
     assert n > 0
+
+
+def test_token_frequencies_and_top_tokens(spark):
+    from neontology_spark.textops import token_frequencies, top_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark engine"),
+            (2, "Spark  ENGINE runs"),
+            (3, "engine"),
+        ],
+        "doc_id long, text string",
+    )
+    freqs = {
+        r["token"]: (r["n_occurrences"], r["n_docs"])
+        for r in token_frequencies(docs, "text", id_col="doc_id").collect()
+    }
+    assert freqs["spark"] == (3, 2)   # normalization folds case
+    assert freqs["engine"] == (3, 3)
+    assert freqs["runs"] == (1, 1)
+
+    top = top_tokens(docs, "text", id_col="doc_id", k=2).collect()
+    # count ties (spark=3, engine=3) break on token asc
+    assert [r["token"] for r in top] == ["engine", "spark"]
+
+    pruned = token_frequencies(docs, "text", id_col="doc_id", min_count=2)
+    assert {r["token"] for r in pruned.collect()} == {"spark", "engine"}
