@@ -202,32 +202,33 @@ def dedupe_paragraphs(
     Scale shape: explode (linear, no shuffle) → ONE shuffle on the
     paragraph fingerprint (row_number window; fingerprints are uniform,
     no hot keys beyond true boilerplate — which is exactly what gets
-    dropped) → one groupBy(doc) rebuild. Documents reduced to zero
+    dropped) → ONE groupBy(doc) computing totals, kept counts, and the
+    rebuilt text in a single aggregate (conditional count/collect over
+    the winner flag — a separate totals scan + rejoin would cost two
+    more exchanges, plan-audited round 4). Documents reduced to zero
     paragraphs survive with empty text (kept-row accounting intact)."""
     p = split_paragraphs(df, text_col, id_col)
     w = Window.partitionBy("fp_md5").orderBy(
         F.col("id").asc(), F.col("para_idx").asc()
     )
-    kept = p.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    flagged = p.withColumn("_rn", F.row_number().over(w))
+    first = F.col("_rn") == 1
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(first, F.lit(1))).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(first, F.struct("para_idx", "para"))
+                    )
+                ),
                 lambda s: s["para"],
             ),
             sep,
         ).alias(text_col),
-    )
-    totals = p.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
-    return (
-        totals.join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_paras",
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-        )
+    ).select(
+        F.col("id").alias(id_col), "n_paras", "n_kept", text_col
     )
 
 

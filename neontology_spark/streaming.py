@@ -180,3 +180,30 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def streaming_dedupe_within_watermark(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming INGEST dedup: emit each key's first arrival, drop
+    re-arrivals within the event-time watermark horizon
+    (``dropDuplicatesWithinWatermark``). The streaming complement of
+    ``dedup.dedupe_exact_incremental``: that one dedups a batch against
+    all history via the fingerprint store; this one dedups the live
+    stream against a BOUNDED horizon, so state is evicted once the
+    watermark passes — the standard at-least-once-source → effectively-
+    once-sink pattern.
+
+    State: one entry per distinct key seen inside the horizon, sharded
+    by the groupBy hash (RocksDB state store on a cluster). Unlike
+    ``streaming_unique_violations`` (NoTimeout counters, unbounded by
+    design — uniqueness is a forever property), the horizon bound is
+    the point: dedup state that outlives the maximum expected re-send
+    window is wasted memory at 10^12-event scale."""
+    keyed = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -185,3 +185,44 @@ def test_incremental_drift_check(spark, tmp_path):
     by_part = {r["part"]: r["passed"] for r in verdicts.collect()}
     assert by_part[3] is False  # shifted partition flagged
     assert any(v for p, v in by_part.items() if p != 3)  # clean parts pass
+
+
+def test_streaming_dedupe_within_watermark(spark, tmp_path):
+    """First arrival of each key is emitted; re-arrivals inside the
+    watermark horizon are dropped — including across micro-batches."""
+    from neontology_spark.streaming import streaming_dedupe_within_watermark
+
+    inp = str(tmp_path / "dedup_in")
+    spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:00:10"),
+         ("a", "2024-01-01 10:00:20")],       # in-batch re-arrival
+        "k string, ts string",
+    ).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema("k string, ts string")
+        .option("maxFilesPerTrigger", "100")
+        .parquet(inp)
+    )
+    out = streaming_dedupe_within_watermark(stream, ["k"], "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a again (cross-batch, inside horizon) + new key c
+        spark.createDataFrame(
+            [("a", "2024-01-01 10:05:00"), ("c", "2024-01-01 10:05:30")],
+            "k string, ts string",
+        ).write.mode("append").parquet(inp)
+        q.processAllAvailable()
+        keys = sorted(
+            r["k"] for r in spark.sql("SELECT * FROM dedup_wm").collect()
+        )
+        assert keys == ["a", "b", "c"]  # each key exactly once
+    finally:
+        q.stop()
