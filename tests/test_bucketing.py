@@ -68,3 +68,54 @@ def test_unbucketed_same_join_shuffles(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan or "Broadcast" in plan
+
+
+def test_incremental_dedup_bucketed_store_saves_store_exchange(spark):
+    """The fingerprint store of dedupe_exact_incremental, written
+    BUCKETED BY fp_md5, joins the batch anti-join without a store-side
+    Exchange — one fewer shuffle than the plain-parquet store (the
+    recurring-ingest layout)."""
+    import shutil
+
+    from neontology_spark.dedup import dedupe_exact_incremental
+    from neontology_spark.textops import fingerprint_md5
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} content") for i in range(200)],
+        "doc_id long, text string",
+    )
+    fps = docs.select(fingerprint_md5("text").alias("fp_md5")).dropDuplicates()
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    for t in ("fps_b", "fps_plain"):
+        spark.sql(f"DROP TABLE IF EXISTS bktest.{t}")
+        shutil.rmtree(f"spark-warehouse/bktest.db/{t}", ignore_errors=True)
+    write_bucketed(fps, "bktest.fps_b", "fp_md5", n_buckets=8)
+    fps.write.format("parquet").saveAsTable("bktest.fps_plain")
+
+    batch = spark.createDataFrame(
+        [(1000 + i, f"document number {i} content") for i in range(50)]
+        + [(2000, "genuinely new content")],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept_b, _ = dedupe_exact_incremental(batch, spark.table("bktest.fps_b"))
+        kept_p, _ = dedupe_exact_incremental(
+            batch, spark.table("bktest.fps_plain")
+        )
+        # capture BOTH plans pre-execution: a collected DataFrame reports
+        # the AQE-final plan whose text counts Exchanges differently
+        plan_b = kept_b._jdf.queryExecution().executedPlan().toString()
+        plan_p = kept_p._jdf.queryExecution().executedPlan().toString()
+        assert [r["doc_id"] for r in kept_b.collect()] == [2000]
+        # identical store content, only the layout differs: the bucketed
+        # store scan joins in place (one fewer Exchange, Bucketed: true)
+        assert "Bucketed: true" in plan_b
+        assert plan_b.count("Exchange") == plan_p.count("Exchange") - 1, (
+            plan_b.count("Exchange"),
+            plan_p.count("Exchange"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
