@@ -218,3 +218,46 @@ class ValidationRun:
         # lineage LAST: a crash before this line re-runs the partitions
         self.store.mark_completed(self.run_id, self.label, pending)
         return verdicts
+
+
+# ---------------------------------------------------------------------------
+# cross-run incremental distinct counts (persisted HLL sketches)
+# ---------------------------------------------------------------------------
+
+
+def append_distinct_sketches(
+    store: AuditStore,
+    run_id: str,
+    df: DataFrame,
+    columns: Sequence[str],
+    part_col: Optional[str] = None,
+) -> None:
+    """Sketch this run's data and persist to the ``sketches`` stream
+    (run_id, part, column, sketch). At 100 TB this is what makes the
+    per-column distinct metric INCREMENTAL: each ingest/validation run
+    sketches only its own rows (one pass it is already making), and the
+    global distinct is a union over the persisted sketch rows — history
+    is never rescanned (same Iceberg-append audit layout as metrics)."""
+    from .checks.stats import distinct_sketches
+
+    sk = distinct_sketches(df, columns, part_col)
+    store.append(
+        "sketches", sk.select(F.lit(run_id).alias("run_id"), "*")
+    )
+
+
+def cumulative_distinct_estimates(
+    store: AuditStore,
+    run_ids: Optional[Sequence[str]] = None,
+) -> Optional[DataFrame]:
+    """(column, n_distinct) across all persisted sketch rows (optionally
+    restricted to ``run_ids``) — the roll-up is a tiny aggregation over
+    sketch rows (runs × parts × columns), independent of data volume."""
+    from .checks.stats import sketch_distinct_estimates, union_distinct_sketches
+
+    sk = store.read("sketches")
+    if sk is None:
+        return None
+    if run_ids is not None:
+        sk = sk.filter(F.col("run_id").isin(list(run_ids)))
+    return sketch_distinct_estimates(union_distinct_sketches(sk))

@@ -101,3 +101,27 @@ def test_partition_pruning_reaches_scan(spark, tmp_path, setup):
     pruned = stored.filter(F.col("part").isin([5, 6, 7]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "part" in plan
+
+def test_cross_run_incremental_distinct_sketches(spark, tmp_path):
+    """Two runs persist sketches of their own batches; the cumulative
+    estimate tracks distinct(union) without rescanning either batch."""
+    from pyspark.sql import functions as F
+
+    from neontology_spark.audit import (
+        AuditStore,
+        append_distinct_sketches,
+        cumulative_distinct_estimates,
+    )
+
+    store = AuditStore(spark, str(tmp_path / "audit_sk"))
+    assert cumulative_distinct_estimates(store) is None
+
+    b1 = spark.range(0, 500).select(F.col("id").alias("k"))
+    b2 = spark.range(250, 750).select(F.col("id").alias("k"))
+    append_distinct_sketches(store, "r1", b1, ["k"])
+    append_distinct_sketches(store, "r2", b2, ["k"])
+
+    total = cumulative_distinct_estimates(store).first()
+    assert abs(total["n_distinct"] - 750) / 750 < 0.05
+    only_r1 = cumulative_distinct_estimates(store, run_ids=["r1"]).first()
+    assert abs(only_r1["n_distinct"] - 500) / 500 < 0.05
