@@ -1061,6 +1061,124 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 50
 """
 
 
+# TEXT — PII redaction + counts over planted emails/IPs/phones; the
+# pattern strings are restricted to Java-regex ∩ RE2 syntax so the
+# oracle runs the IDENTICAL patterns (textops.PII_PATTERNS).
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.textops import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+            F.concat(
+                F.lit("ip 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(".7"),
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("call 555-123-4567")
+            ).otherwise(F.lit("no phone here")),
+        ).alias("text"),
+    )
+    c = pii_counts("text")
+    return planted.select(
+        "doc_id",
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+        c["email"].alias("n_email"),
+        c["ipv4"].alias("n_ipv4"),
+        c["phone"].alias("n_phone"),
+    ).orderBy("doc_id")
+
+
+O_PII = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+              || ' ip 10.0.' || (doc_id % 256) || '.7 '
+              || CASE WHEN doc_id % 3 = 0
+                 THEN 'call 555-123-4567' ELSE 'no phone here' END AS text
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+      '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g')) AS redacted_md5,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text,
+      '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone
+FROM planted ORDER BY doc_id
+"""
+
+
+# TEXT — repetition metrics (Gopher-style): planted docs repeat their own
+# text as a second line, so dup_line_frac = 1/3 exactly; top-bigram
+# fraction replayed in DuckDB with the same nested list lambdas.
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.textops import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.col("text"),
+            F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return (
+        repetition_metrics(planted)
+        .select("doc_id", "dup_line_frac", "top_bigram_frac")
+        .orderBy("doc_id")
+    )
+
+
+O_REPETITION = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || text || chr(10) || 'unique tail ' || doc_id AS text
+  FROM documents WHERE doc_id < 200
+),
+lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM planted
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2
+      THEN list_transform(range(0, len(toks)-1),
+                          i -> array_to_string(toks[i+1:i+2], ' '))
+      ELSE [] END AS g
+  FROM (SELECT doc_id, list_filter(string_split(
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> x <> '') AS toks FROM planted)
+)
+SELECT l.doc_id,
+  round(CASE WHEN len(ls) > 0
+    THEN (len(ls) - len(list_distinct(ls))) / len(ls)::DOUBLE ELSE 0 END, 6)
+    AS dup_line_frac,
+  round(CASE WHEN len(g) > 0
+    THEN list_max(list_transform(list_distinct(g),
+           x -> len(list_filter(g, y -> y = x)))) / len(g)::DOUBLE
+    ELSE 0 END, 6) AS top_bigram_frac
+FROM lines l JOIN grams USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # DEDUP — incremental ingest against a persisted fingerprint store:
 # batch2 rows whose normalized text was already seen in batch1 (planted
 # re-ingests at +700000) drop via the store anti-join; a planted
@@ -1862,6 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_indexed": _shipped(q_ivf_ann_indexed),
         "dedup_incremental": _shipped(q_dedup_incremental),
         "text_top_tokens": _shipped(q_text_top_tokens),
+        "text_pii_redact": _shipped(q_text_pii_redact),
+        "text_repetition": _shipped(q_text_repetition),
     }
 
 
@@ -1912,4 +2032,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_indexed": O_IVF_INDEXED,
         "dedup_incremental": O_DEDUP_INCR,
         "text_top_tokens": O_TOP_TOKENS,
+        "text_pii_redact": O_PII,
+        "text_repetition": O_REPETITION,
     }

@@ -193,3 +193,83 @@ def top_tokens(
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition metrics (curation stages)
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately restricted to syntax shared by Java regex (Spark)
+# and RE2 (DuckDB/Trino): no lookarounds, no backrefs — the same pattern
+# string must behave identically in the engine and in any oracle/auditor.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+}
+
+
+def redact_pii(col: str, patterns: Optional[dict] = None) -> Column:
+    """Text with each PII match replaced by ``[TYPE]`` — chained
+    regexp_replace, pure Column expr (one scan, no UDF). Order is the
+    sorted pattern-name order, so redaction is deterministic even where
+    patterns could overlap."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out: Column = F.col(col)
+    for name in sorted(pats):
+        out = F.regexp_replace(out, pats[name], f"[{name.upper()}]")
+    return out
+
+
+def pii_counts(col: str, patterns: Optional[dict] = None) -> Column:
+    """Struct of per-pattern match counts (regexp_count, JVM-side) — the
+    audit/metrics companion to ``redact_pii``."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    return F.struct(
+        *[
+            F.regexp_count(F.col(col), F.lit(pats[name])).alias(name)
+            for name in sorted(pats)
+        ]
+    )
+
+
+def duplicate_line_fraction(col: str) -> Column:
+    """Fraction of a document's lines that are repeats of an earlier line
+    (Gopher-style repetition signal) — pure array exprs, no explode."""
+    lines = F.array_remove(F.split(F.col(col), r"\n"), "")
+    n = F.size(lines)
+    return F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_ngram_fraction(col: str, n: int = 2) -> Column:
+    """Fraction of a document's word n-grams occupied by its single most
+    frequent n-gram (boilerplate/chant detector). Per-row cost is
+    O(distinct_grams × grams) in JVM higher-order funcs — fine for
+    documents (n_tokens ≤ ~10^4); it is per-row arithmetic, never a
+    shuffle."""
+    toks = F.array_remove(F.split(normalize_text(col), " "), "")
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.when(
+        k >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array())
+    total = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(total > 0, top / total).otherwise(F.lit(0.0))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """df + (dup_line_frac, top_bigram_frac) — one projection."""
+    return df.select(
+        "*",
+        F.round(duplicate_line_fraction(text_col), 6).alias("dup_line_frac"),
+        F.round(top_ngram_fraction(text_col, 2), 6).alias("top_bigram_frac"),
+    )

@@ -116,3 +116,41 @@ def test_token_frequencies_and_top_tokens(spark):
 
     pruned = token_frequencies(docs, "text", id_col="doc_id", min_count=2)
     assert {r["token"] for r in pruned.collect()} == {"spark", "engine"}
+
+
+def test_redact_pii_and_counts(spark):
+    from neontology_spark.textops import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.org and c@y.co ip 192.168.0.1 call 555-123-4567"),
+         (2, "clean text with no identifiers at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            pii_counts("text").alias("c"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail [EMAIL] and [EMAIL] ip [IPV4] call [PHONE]"
+    assert out[1]["c"].asDict() == {"email": 2, "ipv4": 1, "phone": 1}
+    assert out[2]["red"] == "clean text with no identifiers at all"
+    assert out[2]["c"].asDict() == {"email": 0, "ipv4": 0, "phone": 0}
+
+
+def test_repetition_metrics(spark):
+    from neontology_spark.textops import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "same line\nsame line\nother line"),
+         (2, "go go go go"),          # one bigram 'go go' dominates
+         (3, "all words differ here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert out[2]["top_bigram_frac"] == 1.0   # every bigram is 'go go'
+    assert out[3]["dup_line_frac"] == 0.0
+    assert abs(out[3]["top_bigram_frac"] - 1 / 3) < 1e-6  # 3 distinct bigrams
