@@ -21,10 +21,12 @@ Scale design:
 * ``localCheckpoint`` per round cuts lineage (without it round k re-runs
   rounds 1..k-1 — the exponential-plan trap, same as get_related);
 * convergence test is a cheap changed-row count, one action per round;
-* at extreme scale the remaining literature upgrade is
-  large-star/small-star (Kiveris et al., "Connected Components in
-  MapReduce and Beyond"), which ALSO contracts the edge set per round;
-  with shortcutting in place its win is edge-volume, not round count.
+* ``connected_components_star`` (below) implements the
+  large-star/small-star alternative (Kiveris et al., "Connected
+  Components in MapReduce and Beyond"): it CONTRACTS the edge set per
+  round, so per-round cost shrinks on dense components — the choice for
+  celebrity-duplicate blobs at 10^12 edges; cross-checked against
+  hash-min on mixed/random/chain graphs in tests.
 """
 
 from __future__ import annotations
@@ -135,3 +137,115 @@ def dedupe_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# large-star / small-star (Kiveris et al., "Connected Components in
+# MapReduce and Beyond") — the edge-CONTRACTING alternative
+# ---------------------------------------------------------------------------
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a < b), self-loops dropped,
+    deduped."""
+    return (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u})."""
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    m = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    ).select(F.col("a").alias("_u"), "m")
+    out = (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(m, sym["a"] == m["_u"])
+        .select(F.col("m").alias("a"), F.col("b").alias("b"))
+    )
+    return _canon(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star(hi): connect every lo-neighbor (and hi itself) to
+    m = min of hi's lo-neighbors."""
+    m = e.groupBy("b").agg(F.min("a").alias("m")).select(
+        F.col("b").alias("_hi"), "m"
+    )
+    j = e.join(m, e["b"] == m["_hi"])
+    lo_edges = j.select(F.col("m").alias("a"), F.col("a").alias("b"))
+    hi_edges = j.select(F.col("m").alias("a"), F.col("b").alias("b"))
+    return _canon(lo_edges.unionByName(hi_edges))
+
+
+def _edge_checksum(e: DataFrame) -> tuple:
+    # bit_xor (not sum): overflow-free under ANSI mode, and the edge set
+    # is deduped so no pair can cancel itself
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    on_truncate: str = "warn",
+) -> DataFrame:
+    """(node, comp) via alternating large-star/small-star contraction —
+    same output contract as ``connected_components``.
+
+    Why a second algorithm: hash-min + shortcutting keeps the FULL edge
+    set in every round (per-round cost O(|E|) forever). Star rounds
+    CONTRACT the edge set toward a star forest — on dense near-dup
+    clusters |E| collapses toward |V| within a couple of rounds, so the
+    per-round join cost shrinks as the algorithm proceeds; convergence
+    is O(log^2 n) rounds (paper thm. 3). Use it when components are
+    dense/huge (celebrity-duplicate clusters at 10^12 edges);
+    ``connected_components`` remains the default for shallow graphs.
+
+    Each round = one large-star + one small-star (each: a groupBy + a
+    same-key join, Exchange-reused) + a two-number checksum action;
+    ``localCheckpoint`` cuts lineage per round. Fixpoint = the edge set
+    is round-stable (it is then a star forest: every edge (root, child)
+    with root the component min)."""
+    e = _canon(
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint(eager=True)
+    all_nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .dropDuplicates()
+    )
+    prev = _edge_checksum(e)
+    converged = False
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        msg = (
+            f"connected_components_star: fixpoint not reached in {max_iter} "
+            "rounds — labels may split components. Raise max_iter."
+        )
+        if on_truncate == "raise":
+            raise RuntimeError(msg)
+        if on_truncate == "warn":
+            warnings.warn(msg, RuntimeWarning)
+    # star forest → labels: child b → root a; roots + isolated nodes → self
+    child_root = e.select(F.col("b").alias("node"), F.col("a").alias("comp"))
+    return (
+        all_nodes.join(child_root, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )

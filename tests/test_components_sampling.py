@@ -158,3 +158,68 @@ def test_components_truncation_warns_and_raises(spark):
     with W.catch_warnings():
         W.simplefilter("error")  # silent mode really is silent
         connected_components(pairs, max_iter=1, on_truncate="ignore")
+
+
+def test_star_algorithm_matches_hash_min(spark):
+    """connected_components_star must produce exactly the hash-min labels
+    on a mixed graph: chain + clique + star + singleton pair + isolated
+    dense blob."""
+    from neontology_spark.components import connected_components_star
+
+    edges = (
+        [(i, i + 1) for i in range(10, 20)]                # chain
+        + [(a, b) for a in range(30, 35) for b in range(a + 1, 35)]  # clique
+        + [(50, x) for x in range(51, 58)]                 # star
+        + [(70, 71)]                                       # pair
+        + [(80, 82), (82, 84), (84, 80), (84, 86)]         # cycle + tail
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    expected = {
+        (r["node"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_star_algorithm_random_graphs(spark):
+    """Randomized cross-check vs hash-min (fixed seeds, 3 graphs)."""
+    import random
+
+    from neontology_spark.components import connected_components_star
+
+    for seed in (7, 11, 13):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        expected = {
+            (r["node"], r["comp"])
+            for r in connected_components(pairs).collect()
+        }
+        got = {
+            (r["node"], r["comp"])
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == expected, f"seed {seed}"
+
+
+def test_star_algorithm_long_chain(spark):
+    """1k-node path: star contraction also converges in logarithmic
+    rounds (on_truncate='raise' makes the bound an assertion)."""
+    from neontology_spark.components import connected_components_star
+
+    n = 1_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comp = connected_components_star(pairs, max_iter=15, on_truncate="raise")
+    agg = comp.agg(
+        F.countDistinct("comp").alias("ncomp"), F.count("*").alias("nodes")
+    ).first()
+    assert (agg["ncomp"], agg["nodes"]) == (1, n)
