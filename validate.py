@@ -40,6 +40,12 @@ def main() -> int:
     ap.add_argument("--part-col", default="part")
     ap.add_argument("--baseline", default=None, help="parquet path of a clean baseline snapshot for drift")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--sketch-cols",
+        default=None,
+        help="comma-separated columns to HLL-sketch into the audit "
+        "'sketches' stream (cross-run incremental distinct counts)",
+    )
     ap.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[32]"))
     ap.add_argument(
         "--psnr-sample-rows", type=int, default=0,
@@ -135,6 +141,16 @@ def main() -> int:
         ),
     )
     verdicts = run.run(resume=not args.no_resume)
+    if args.sketch_cols:
+        from neontology_spark.audit import append_distinct_sketches
+
+        append_distinct_sketches(
+            run.store,
+            args.run_id,
+            table,
+            [c.strip() for c in args.sketch_cols.split(",") if c.strip()],
+            part_col=args.part_col,
+        )
     rows = verdicts.collect()
     n_failed = sum(1 for r in rows if not r["passed"])
     summary = {
