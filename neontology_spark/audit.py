@@ -64,6 +64,19 @@ class AuditStore:
             return None
         return self.spark.read.parquet(p)
 
+    def read_clean(self, stream: str) -> Optional[DataFrame]:
+        """Stream with crash duplicates removed. The crash-consistency
+        rule (lineage-last) means a partition that crashed after its
+        verdict/violation append but before its lineage marker is
+        re-processed on resume — appending IDENTICAL rows a second time
+        (all checks are deterministic reads). Full-row dropDuplicates is
+        therefore exactly the replay filter; on Iceberg the same effect
+        comes free from overwrite-by-partition commits. Not for
+        ``lineage`` (its ``completed_at`` differs per attempt — dedup on
+        (run_id, label, part, status) instead if needed)."""
+        df = self.read(stream)
+        return None if df is None else df.dropDuplicates()
+
     # -- lineage -------------------------------------------------------------
     def mark_completed(self, run_id: str, label: str, parts: Sequence[int]) -> None:
         now = time.time()

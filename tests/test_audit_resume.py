@@ -125,3 +125,22 @@ def test_cross_run_incremental_distinct_sketches(spark, tmp_path):
     assert abs(total["n_distinct"] - 750) / 750 < 0.05
     only_r1 = cumulative_distinct_estimates(store, run_ids=["r1"]).first()
     assert abs(only_r1["n_distinct"] - 500) / 500 < 0.05
+
+
+def test_read_clean_filters_crash_replay_duplicates(spark, tmp_path):
+    """A crash between the violations append and the lineage marker
+    re-appends identical rows on resume; read_clean must collapse them
+    while read() exposes the raw stream."""
+    from neontology_spark.audit import AuditStore
+
+    store = AuditStore(spark, str(tmp_path / "audit_crash"))
+    vio = spark.createDataFrame(
+        [("r1", "unique", 0, "img_7"), ("r1", "unique", 1, "img_9")],
+        "run_id string, check string, part long, key string",
+    )
+    store.append("violations", vio)
+    store.append("violations", vio)  # the replayed append after a crash
+    assert store.read("violations").count() == 4
+    clean = store.read_clean("violations")
+    assert clean.count() == 2
+    assert {r["key"] for r in clean.collect()} == {"img_7", "img_9"}
