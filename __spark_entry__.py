@@ -1035,6 +1035,58 @@ GROUP BY 1 HAVING count(*) > 1 ORDER BY fp_md5
 """
 
 
+# Q1 — raw-query escape hatch (evaluate_query parity, query.py): register
+# model tables as label-named views, run user SQL, hydrate typed nodes.
+# The records frame is the oracle subject (same SQL, DuckDB dialect);
+# the hydrated node frame feeds the returned count column, so the
+# label-hydration path is inside the compared result too.
+def q_run_query_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.models import ModelCatalog, NodeModel, Property
+    from neontology_spark.query import run_query
+
+    catalog = ModelCatalog()
+    catalog.register_node(
+        NodeModel(
+            label="CustomerQ1",
+            primary_property="c_custkey",
+            properties=[
+                Property("c_custkey", int),
+                Property("c_name", str),
+                Property("c_mktsegment", str),
+            ],
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    res = run_query(
+        spark,
+        "SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS min_key "
+        "FROM CustomerQ1 GROUP BY c_mktsegment",
+        catalog,
+        {"CustomerQ1": cust},
+    )
+    hydr = run_query(
+        spark,
+        "SELECT struct(c.*) AS CustomerQ1 FROM CustomerQ1 c "
+        "WHERE c.c_custkey <= 50",
+        catalog,
+        {"CustomerQ1": cust},
+    )
+    n_hydrated = hydr.nodes["CustomerQ1"].count()
+    return res.records.withColumn(
+        "n_hydrated_nodes", F.lit(n_hydrated).cast("long")
+    ).orderBy("c_mktsegment")
+
+
+O_RUN_QUERY = """
+SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS min_key,
+       (SELECT count(*) FROM customer WHERE c_custkey <= 50)
+         AS n_hydrated_nodes
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # TEXT — corpus token-frequency top-k (vocabulary head): explode + one
 # map-side-combinable groupBy + TakeOrderedAndProject; ties at the k
 # boundary break on token asc in both engines.
@@ -1982,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": _shipped(q_text_top_tokens),
         "text_pii_redact": _shipped(q_text_pii_redact),
         "text_repetition": _shipped(q_text_repetition),
+        "run_query_escape": _shipped(q_run_query_escape),
     }
 
 
@@ -2034,4 +2087,5 @@ def oracle_sql() -> dict[str, str]:
         "text_top_tokens": O_TOP_TOKENS,
         "text_pii_redact": O_PII,
         "text_repetition": O_REPETITION,
+        "run_query_escape": O_RUN_QUERY,
     }
