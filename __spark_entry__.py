@@ -1035,6 +1035,51 @@ GROUP BY 1 HAVING count(*) > 1 ORDER BY fp_md5
 """
 
 
+# §2.9 MULTIMODAL — audio plumbing end-to-end (rows-only: WAV synthesis +
+# stdlib decode is not SQL-expressible, so no oracle entry — the driver
+# records the weaker rows-only check; kernel-level parity is pytest's
+# job, tests/test_multimodal.py). Bytes are synthesized INSIDE executors
+# (sine PCM keyed on doc_id → encode_wav) and decoded by the Arrow
+# audio_features kernel — the full binary-column round trip.
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from neontology_spark.multimodal import encode_wav
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                t = np.arange(1600) / 16000.0
+                freq = 200.0 + float(d % 20) * 10.0
+                pcm = (np.sin(2 * np.pi * freq * t) * 0.5).astype(np.float32)
+                rows.append(
+                    {"audio_id": f"a{int(d):05d}", "bytes": encode_wav(pcm)}
+                )
+            yield pd.DataFrame(rows)
+
+    audio = docs.mapInPandas(gen, schema="audio_id string, bytes binary")
+    return (
+        audio_features(audio)
+        .select(
+            "audio_id",
+            "decode_ok",
+            "sample_rate",
+            "channels",
+            F.round("duration_sec", 4).alias("duration_sec"),
+            F.round("rms", 4).alias("rms"),
+        )
+        .orderBy("audio_id")
+    )
+
+
 # Q1 — raw-query escape hatch (evaluate_query parity, query.py): register
 # model tables as label-named views, run user SQL, hydrate typed nodes.
 # The records frame is the oracle subject (same SQL, DuckDB dialect);
@@ -2035,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _shipped(q_text_pii_redact),
         "text_repetition": _shipped(q_text_repetition),
         "run_query_escape": _shipped(q_run_query_escape),
+        "multimodal_audio": _shipped(q_multimodal_audio),
     }
 
 
