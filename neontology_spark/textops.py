@@ -151,6 +151,7 @@ def token_frequencies(
     text_col: str = "text",
     id_col: Optional[str] = None,
     min_count: int = 1,
+    exact_docs: bool = True,
 ) -> DataFrame:
     """Corpus token-frequency table: (token, n_occurrences, n_docs).
     Tokens come from the same normalization the fingerprints use, so a
@@ -163,15 +164,23 @@ def token_frequencies(
     handles hot keys with partial aggregates — no salting needed (unlike
     collect-style aggs). ``min_count`` prunes the long tail BEFORE any
     driver-side consumption (at web scale the tail is ~all distinct
-    tokens)."""
+    tokens). ``exact_docs=False`` switches ``n_docs`` to
+    ``approx_count_distinct`` — exact distinct compiles to an Expand
+    (every exploded row shuffled twice) whose cost is dominated by
+    exactly the hot stopword tokens; the HLL partials keep one pass and
+    are the 10^12-token setting (exact stays the default for oracle
+    parity at test scale)."""
     toks = F.array_remove(F.split(normalize_text(text_col), " "), "")
     ident = (
         F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
     )
     per_doc = df.select(ident.alias("_d"), F.explode(toks).alias("token"))
+    n_docs = (
+        F.countDistinct("_d") if exact_docs else F.approx_count_distinct("_d")
+    )
     out = per_doc.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("_d").alias("n_docs"),
+        n_docs.alias("n_docs"),
     )
     if min_count > 1:
         out = out.filter(F.col("n_occurrences") >= min_count)

@@ -154,3 +154,21 @@ def test_repetition_metrics(spark):
     assert out[2]["top_bigram_frac"] == 1.0   # every bigram is 'go go'
     assert out[3]["dup_line_frac"] == 0.0
     assert abs(out[3]["top_bigram_frac"] - 1 / 3) < 1e-6  # 3 distinct bigrams
+
+
+def test_token_frequencies_approx_docs_mode(spark):
+    from neontology_spark.textops import token_frequencies
+
+    docs = spark.createDataFrame(
+        [(i, "common token plus word%d" % i) for i in range(100)],
+        "doc_id long, text string",
+    )
+    approx = {
+        r["token"]: r["n_docs"]
+        for r in token_frequencies(
+            docs, "text", id_col="doc_id", exact_docs=False
+        ).collect()
+    }
+    # HLL estimate within 5% on the 100-doc hot tokens; exact plan avoided
+    assert abs(approx["common"] - 100) / 100 < 0.05
+    assert abs(approx["token"] - 100) / 100 < 0.05
