@@ -1396,7 +1396,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    kept, updated = dedupe_exact_incremental(batch2, seen)
+    # cache=False: kept is materialized exactly once here, so the
+    # cross-output checkpoint would only add block-write overhead
+    kept = dedupe_exact_incremental(batch2, seen, cache=False).kept
     return kept.select("doc_id").orderBy("doc_id")
 
 
@@ -1628,24 +1630,36 @@ FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id
 # filter — the physical partition-pruning path a 10^12-vector corpus
 # needs (plan shape asserted in tests/test_dedup_similarity.py).
 def q_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from neontology_spark.similarity import (
         ivf_topk_indexed,
         train_ivf_centroids,
         write_ivf_index,
     )
 
+    import shutil
+    import tempfile
+
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, n_centroids=8, iters=1)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/neontology_bench/ivf_index_{sf_tag}"
-    write_ivf_index(emb, path, cents)
-    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
-    out = ivf_topk_indexed(spark, path, queries_df, cents, k=1, n_probe=2)
-    return out.select("query_id", "vec_id", "cos").orderBy("query_id")
+    # per-invocation index dir (ADVICE r4: a fixed shared path races on
+    # overwrite-while-read when harness and bench run concurrently at
+    # the same sf); cleaned up after the result is materialized
+    path = tempfile.mkdtemp(prefix="neontology_ivf_index_")
+    try:
+        write_ivf_index(emb, path, cents)
+        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        out = ivf_topk_indexed(spark, path, queries_df, cents, k=1, n_probe=2)
+        # materialize before deleting the parquet dir the plan reads;
+        # localCheckpoint keeps the returned frame self-contained
+        return (
+            out.select("query_id", "vec_id", "cos")
+            .orderBy("query_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 O_IVF_INDEXED = O_IVF

@@ -159,16 +159,24 @@ def distinct_sketches(
         ]
     )
     return wide.select("part", F.explode(per_col).alias("s")).select(
-        "part", F.col("s.column").alias("column"), F.col("s.sketch").alias("sketch")
+        "part",
+        F.col("s.column").alias("column"),
+        F.col("s.sketch").alias("sketch"),
+        # recorded per row so historical sketches taken at a different
+        # lgk remain auditable and unionable (ADVICE r4)
+        F.lit(lgk).cast("int").alias("lgk"),
     )
 
 
 def union_distinct_sketches(sketches: DataFrame) -> DataFrame:
     """Roll sketches up across parts/batches/runs: (column, sketch).
     Feed it the unionByName of any number of ``distinct_sketches``
-    outputs (this run's + the audit table's persisted history)."""
+    outputs (this run's + the audit table's persisted history).
+    ``allowDifferentLgConfigK=True``: sketches recorded at different
+    ``lgk`` settings across history union at the coarser precision
+    instead of throwing (each row carries its ``lgk`` for audit)."""
     return sketches.groupBy("column").agg(
-        F.hll_union_agg("sketch").alias("sketch")
+        F.hll_union_agg("sketch", True).alias("sketch")
     )
 
 

@@ -180,14 +180,24 @@ def merge_rewrite_sql(
 
     out = [f"COALESCE(t.{k}, s.{k}) AS {k}" for k in keys]
     for c in data_cols:
-        s_c = f"s.{c}" if c in batch else "NULL"
         pol = policies.get(c, MergePolicy.ALWAYS_SET)
-        if pol is MergePolicy.SET_ON_CREATE:
-            expr = f"CASE WHEN {is_create} THEN {s_c} ELSE t.{c} END"
+        if c not in batch:
+            # Absent from the batch ⇒ never SET (reference Cypher SET
+            # semantics: properties not in the batch are untouched on
+            # match; created rows get NULL — t.c is already NULL on the
+            # create side of the full-outer join). Same for all
+            # policies, and identical to merge_into_sql, which omits
+            # the column from UPDATE SET and inserts NULL.
+            expr = f"t.{c}"
+        elif pol is MergePolicy.SET_ON_CREATE:
+            expr = f"CASE WHEN {is_create} THEN s.{c} ELSE t.{c} END"
         elif pol is MergePolicy.SET_ON_MATCH:
-            expr = f"CASE WHEN {is_match} THEN {s_c} ELSE t.{c} END"
+            expr = f"CASE WHEN {is_match} THEN s.{c} ELSE t.{c} END"
         else:
-            expr = f"CASE WHEN {is_match} OR {is_create} THEN {s_c} ELSE t.{c} END"
+            expr = (
+                f"CASE WHEN {is_match} OR {is_create} THEN s.{c} "
+                f"ELSE t.{c} END"
+            )
         out.append(f"{expr} AS {c}")
 
     return (

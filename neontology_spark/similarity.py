@@ -45,7 +45,17 @@ def _with_matrix(df: DataFrame, matrix: list[list[float]], col: str) -> DataFram
     broadcast column puts ONE attribute reference in the plan; the values
     ride the (tiny) broadcast relation. Arithmetic is unchanged — same
     zip_with/aggregate per plane, same left-to-right order — so results
-    are bit-identical to the literal form."""
+    are bit-identical to the literal form.
+
+    ``col`` must not collide with an input column (ADVICE r4: a user
+    frame already carrying e.g. ``_cents`` would make the cross join
+    ambiguous, and the caller's later ``drop(col)`` would silently
+    remove the user's data)."""
+    if col in df.columns:
+        raise ValueError(
+            f"internal matrix column {col!r} collides with an input "
+            f"column — rename it in the input DataFrame"
+        )
     schema = StructType(
         [StructField(col, ArrayType(ArrayType(DoubleType(), False), False), False)]
     )
@@ -519,11 +529,15 @@ def ivf_topk_indexed(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_dot").desc(), F.col("cluster").asc()
     )
+    # eager localCheckpoint (not persist): the cluster collect below
+    # materializes probes anyway, and checkpoint blocks are reclaimed
+    # by the ContextCleaner once the result frame is dropped — repeated
+    # index probes (e.g. a bench loop) don't accumulate cached RDDs.
     probes = (
         probed.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "qv", "cluster")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # ≤ n_centroids ints — a provably tiny driver collect
     clusters = [
@@ -567,9 +581,11 @@ def embedding_near_duplicates(
         dim,
     )
     # lineage cut (mirrors dedup.py minhash): the signature feeds BOTH
-    # sides of the band self-join — without persisting, every vector's
-    # 16 projections are recomputed per side (round-1's slowest query)
-    sig = sig.persist()
+    # sides of the band self-join — without it, every vector's
+    # 16 projections are recomputed per side (round-1's slowest query).
+    # localCheckpoint, not persist: blocks are GC-scoped to the returned
+    # frame, so repeated calls leave no CacheManager residue.
+    sig = sig.localCheckpoint(eager=False)
     bandrows = _explode_bands(sig, bands, r, "id", "v")
     a = bandrows.alias("a")
     b = bandrows.alias("b")

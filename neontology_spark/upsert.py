@@ -99,6 +99,12 @@ def merge_keyed(
     SET_ON_MATCH            batch value on match; NULL on create
     ======================  ========================================
 
+    Columns of ``existing`` absent from ``batch`` are never SET —
+    matched rows keep their old value, created rows get NULL —
+    regardless of policy (reference Cypher ``SET`` only touches
+    properties the batch carries; identical to ``merge_into_sql``'s
+    UPDATE-SET omission).
+
     Maps 1:1 onto Iceberg ``MERGE INTO`` with two WHEN branches; this is
     the engine-neutral full-outer-join formulation.
     """
@@ -132,7 +138,16 @@ def merge_keyed(
     ]
     for c in data_cols:
         e_c = F.col(f"_e_{c}")
-        b_c = F.col(f"_b_{c}") if f"_b_{c}" in j.columns else F.lit(None)
+        if f"_b_{c}" not in j.columns:
+            # Column absent from the batch ⇒ never SET, regardless of
+            # policy (reference Cypher SET semantics: properties the
+            # batch doesn't carry are untouched on match; created rows
+            # get NULL — e_c is already NULL on the create side of the
+            # full-outer join). Aligned with merge_into_sql /
+            # merge_rewrite_sql (ADVICE r4 medium).
+            out_cols.append(e_c.alias(c))
+            continue
+        b_c = F.col(f"_b_{c}")
         pol = policies.get(c, MergePolicy.ALWAYS_SET)
         if pol is MergePolicy.SET_ON_CREATE:
             expr = F.when(is_create, b_c).otherwise(e_c)

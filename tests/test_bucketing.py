@@ -101,10 +101,12 @@ def test_incremental_dedup_bucketed_store_saves_store_exchange(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        kept_b, _ = dedupe_exact_incremental(batch, spark.table("bktest.fps_b"))
-        kept_p, _ = dedupe_exact_incremental(
-            batch, spark.table("bktest.fps_plain")
-        )
+        kept_b = dedupe_exact_incremental(
+            batch, spark.table("bktest.fps_b"), cache=False
+        ).kept
+        kept_p = dedupe_exact_incremental(
+            batch, spark.table("bktest.fps_plain"), cache=False
+        ).kept
         # capture BOTH plans pre-execution: a collected DataFrame reports
         # the AQE-final plan whose text counts Exchanges differently
         plan_b = kept_b._jdf.queryExecution().executedPlan().toString()

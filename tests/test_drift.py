@@ -121,6 +121,30 @@ def test_hll_sketches_incremental_merge_exact_roundtrip(spark):
     assert got["cat"] == direct["cat"] == 11  # exact at tiny cardinality
 
 
+def test_hll_sketches_mixed_lgk_union(spark):
+    """Historical sketches recorded at a different lgk must still union
+    (ADVICE r4: audit history can outlive a precision change) — rows
+    carry their lgk, and the union degrades to the coarser precision
+    instead of throwing."""
+    from neontology_spark.checks import (
+        distinct_sketches,
+        sketch_distinct_estimates,
+        union_distinct_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    b1 = spark.range(0, 500).select(F.col("id").alias("k"))
+    b2 = spark.range(400, 1000).select(F.col("id").alias("k"))
+    s1 = distinct_sketches(b1, ["k"], lgk=12)
+    s2 = distinct_sketches(b2, ["k"], lgk=10)
+    assert {r["lgk"] for r in s1.collect()} == {12}
+    assert {r["lgk"] for r in s2.collect()} == {10}
+    est = sketch_distinct_estimates(
+        union_distinct_sketches(s1.unionByName(s2))
+    ).first()
+    assert abs(est["n_distinct"] - 1000) / 1000 < 0.1
+
+
 def test_hll_sketches_per_partition_rollup(spark):
     """Per-partition sketches roll up to the global estimate — the audit
     table layout (one sketch row per (part, column))."""

@@ -62,13 +62,63 @@ def test_merge_into_golden():
 
 
 def test_merge_into_missing_batch_column():
-    """A target column the batch doesn't carry: never updated, inserted
-    as NULL — matching merge_keyed's lit(None) fallback."""
+    """A target column the batch doesn't carry: never updated (matched
+    rows keep the old value — reference Cypher SET semantics), inserted
+    as NULL on create. merge_keyed and merge_rewrite_sql agree (ADVICE
+    r4 medium; parity asserted in test_absent_column_parity)."""
     stmt = merge_into_sql(
         "tgt", "src", KEYS, {}, ["a", "x"], batch_cols=["a"]
     )
     assert "t.x" not in stmt.split("WHEN NOT MATCHED")[0]
     assert "VALUES (s.k, s.a, NULL)" in stmt
+
+
+def test_absent_column_parity(spark, frames):
+    """batch_cols a STRICT SUBSET of data_cols: all three formulations
+    (merge_keyed, rewrite-in-Spark, rewrite-in-DuckDB) must agree that
+    the absent columns keep old values on match and are NULL on create,
+    for every policy."""
+    existing, batch = frames
+    # batch drops 'b' (SET_ON_CREATE) and 'c' (SET_ON_MATCH); also probe
+    # an absent ALWAYS_SET column by dropping 'a' from a second run
+    for batch_cols in (["a"], ["b", "c"]):
+        sub = batch.select("k", *batch_cols, "ord")
+        out = merge_keyed(existing, sub, KEYS, POLICIES, order_col="ord")
+        keyed = {r["k"]: (r["a"], r["b"], r["c"]) for r in out.collect()}
+        absent = [c for c in DATA_COLS if c not in batch_cols]
+        for k, vals in keyed.items():
+            erow = {r["k"]: r for r in existing.collect()}.get(k)
+            for c, v in zip(DATA_COLS, vals):
+                if c in absent:
+                    # matched/target-only rows keep old; created rows NULL
+                    assert v == (erow[c] if erow is not None else None)
+        existing.createOrReplaceTempView("merge_tgt_v")
+        sub.createOrReplaceTempView("merge_src_v")
+        sql = merge_rewrite_sql(
+            "merge_tgt_v", "merge_src_v", KEYS, POLICIES, DATA_COLS,
+            batch_cols=batch_cols, order_col="ord", dialect="spark",
+        )
+        got = {r["k"]: (r["a"], r["b"], r["c"]) for r in spark.sql(sql).collect()}
+        assert got == keyed
+        con = duckdb.connect()
+        con.register("merge_tgt_v", existing.toPandas())
+        con.register("merge_src_v", sub.toPandas())
+        dsql = merge_rewrite_sql(
+            "merge_tgt_v", "merge_src_v", KEYS, POLICIES, DATA_COLS,
+            batch_cols=batch_cols, order_col="ord", dialect="ansi",
+        )
+        ddf = con.execute(dsql).df()
+        dgot = {
+            (None if k != k else int(k)): tuple(
+                None if v != v else v for v in (a, b, c)
+            )
+            for k, a, b, c in ddf[["k", "a", "b", "c"]].itertuples(index=False)
+        }
+        keyed_n = {
+            k: tuple(None if v != v else v for v in vals)
+            for k, vals in keyed.items()
+        }
+        assert dgot == keyed_n
 
 
 def test_merge_into_parses_in_spark(spark, frames):
