@@ -1623,6 +1623,38 @@ FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id
 """
 
 
+# SIMILARITY — TWO-LEVEL IVF (VERDICT r4 #2): same planted-exact-
+# duplicate oracle (identical vector → same coarse AND fine cell →
+# always probed → top-1 at cos 1.0), but the quantizer's driver state
+# is bounded at k_coarse × dim — fine centroids are trained per-cell
+# executor-side (one applyInPandas) and ride a k_coarse-row DataFrame
+# through joins, never a collect. This is the ANN config that survives
+# n_cells ≈ sqrt(10^12): the flat quantizer's ~8 GB driver matrix and
+# 10^9-row Lloyd collect are structurally gone (full-probe equality
+# with brute force + residency proxies in tests/test_ivf_two_level.py).
+def q_ivf_ann_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.similarity import ivf_topk_two_level
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = ivf_topk_two_level(
+        emb,
+        queries_df,
+        k=1,
+        k_coarse=4,
+        k_fine=2,
+        n_probe_coarse=2,
+        n_probe_fine=2,
+        iters=1,
+    )
+    return out.select("query_id", "vec_id", "cos").orderBy("query_id")
+
+
+O_IVF_TWO_LEVEL = O_IVF
+
+
 # SIMILARITY — IVF over the PERSISTED cluster-partitioned index: same
 # planted-exact-duplicate oracle as ivf_ann (identical vector → same
 # cluster → always probed → top-1 at cos 1.0), but the probe reads the
@@ -2184,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_match_relationships": _shipped(q_f4_match_relationships),
         "dedup_paragraphs": _shipped(q_dedup_paragraphs),
         "ivf_ann_indexed": _shipped(q_ivf_ann_indexed),
+        "ivf_ann_two_level": _shipped(q_ivf_ann_two_level),
         "dedup_incremental": _shipped(q_dedup_incremental),
         "text_top_tokens": _shipped(q_text_top_tokens),
         "text_pii_redact": _shipped(q_text_pii_redact),
@@ -2239,6 +2272,7 @@ def oracle_sql() -> dict[str, str]:
         "f4_match_relationships": O_F4,
         "dedup_paragraphs": O_DEDUP_PARAS,
         "ivf_ann_indexed": O_IVF_INDEXED,
+        "ivf_ann_two_level": O_IVF_TWO_LEVEL,
         "dedup_incremental": O_DEDUP_INCR,
         "text_top_tokens": O_TOP_TOKENS,
         "text_pii_redact": O_PII,
