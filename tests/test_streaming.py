@@ -226,3 +226,113 @@ def test_streaming_dedupe_within_watermark(spark, tmp_path):
         assert keys == ["a", "b", "c"]  # each key exactly once
     finally:
         q.stop()
+
+
+def test_streaming_dedupe_restart_from_checkpoint(spark, tmp_path):
+    """Kill/restart resilience (VERDICT r4 #7): stop the watermark-dedup
+    query, let new data arrive while it is down, restart from the SAME
+    checkpoint dir into a file sink — every key is emitted exactly once
+    across the two runs (no drops, no duplicated emissions). The file
+    sink + checkpoint pair is Spark's exactly-once contract; this test
+    pins that our operator composes with it."""
+    from neontology_spark.streaming import streaming_dedupe_within_watermark
+
+    inp = str(tmp_path / "rs_in")
+    outp = str(tmp_path / "rs_out")
+    ckpt = str(tmp_path / "rs_ckpt")
+    spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:00:10"),
+         ("a", "2024-01-01 10:00:20")],
+        "k string, ts string",
+    ).write.mode("append").parquet(inp)
+
+    def start():
+        stream = (
+            spark.readStream.schema("k string, ts string")
+            .option("maxFilesPerTrigger", "100")
+            .parquet(inp)
+        )
+        out = streaming_dedupe_within_watermark(stream, ["k"], "ts", "1 hour")
+        return (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # simulated crash/redeploy between micro-batches
+
+    # arrivals while the query is down: a cross-batch re-send (must stay
+    # dropped after restart — the dedup state survives via checkpoint)
+    # and a genuinely new key
+    spark.createDataFrame(
+        [("a", "2024-01-01 10:05:00"), ("c", "2024-01-01 10:05:30"),
+         ("b", "2024-01-01 10:06:00")],
+        "k string, ts string",
+    ).write.mode("append").parquet(inp)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(outp).collect()
+    keys = sorted(r["k"] for r in rows)
+    assert keys == ["a", "b", "c"]  # exactly once each, across runs
+
+
+def test_incremental_validate_restart_resumes_epochs(spark, tmp_path):
+    """incremental_validate restarted from its checkpoint must pick up
+    only files that arrived while it was down — already-validated
+    batches are not re-validated (no duplicate verdict rows), and the
+    resumed run continues the epoch sequence."""
+    images = generate_images(spark, n_rows=1_000, n_parts=4)
+    inp = str(tmp_path / "iv_in")
+    store = AuditStore(spark, str(tmp_path / "iv_audit"))
+    model = image_model()
+
+    def start():
+        return incremental_validate(
+            spark,
+            inp,
+            schema=images.schema,
+            checks=[
+                functools.partial(check_required, model=model, part_col="part"),
+            ],
+            store=store,
+            run_id="restart1",
+            checkpoint_dir=str(tmp_path / "iv_ckpt"),
+            max_files_per_trigger=100,
+        )
+
+    images.filter(F.col("part") < 2).write.mode("append").parquet(inp)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = store.read("verdicts").count()
+    assert n_first > 0
+
+    images.filter(F.col("part") >= 2).write.mode("append").parquet(inp)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    verdicts = store.read_clean("verdicts")
+    # every part validated exactly once — restart neither re-validated
+    # batch-1 files (would duplicate part 0/1 verdict rows) nor skipped
+    # the files that arrived during downtime
+    per_part = verdicts.groupBy("part", "check").count().collect()
+    assert sorted(r["part"] for r in per_part) == [0, 1, 2, 3]
+    assert all(r["count"] == 1 for r in per_part)
+    # epoch sequence continued (fresh epoch for the post-restart batch)
+    assert verdicts.select("epoch").distinct().count() == 2
