@@ -251,7 +251,15 @@ def duplicate_keys(
     (e.g. a phash repeated 10^9 times): phase 1 spreads the hot key over
     ``salt_buckets`` reducers, phase 2 aggregates ``salt_buckets`` rows.
     With map-side combine the plain path is usually enough; the salted path
-    is the explicit skew hedge the north_rule asks for — measured in bench.
+    is the explicit skew hedge the north_rule asks for. MEASURED
+    (BENCH/skew.py, 30% hot key on 16M rows): for this count shape the
+    partial aggregation already de-skews and salting costs ~1.5x (one
+    extra Exchange) — it is insurance, not speedup; the shape where the
+    salted two-phase plan genuinely wins (4.5x, and at 10^12 rows the
+    difference between running and OOM) is holistic aggregation per key
+    (collect_set/collect_list dup-group membership), where unsalted
+    partials merge in a single final task. See BENCH/BASELINE.md
+    § planted skew.
     """
     if salted:
         salt = F.pmod(F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(salt_buckets))
