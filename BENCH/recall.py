@@ -173,6 +173,27 @@ def main() -> None:
             f"| {len(found)} hits | {r:.3f} | — |"
         )
 
+    # two-level IVF at the SAME effective cell count (4×4 = 16): recall
+    # must track the flat quantizer probe-for-probe — bounding driver
+    # residency is a layout change, not a quality trade. n_probe_fine
+    # cells out of 16 ≈ flat n_probe of 16.
+    from neontology_spark.similarity import ivf_topk_two_level, train_ivf_two_level
+
+    idx2 = train_ivf_two_level(vecs, k_coarse=4, k_fine=4)
+    for pc, pf in ((1, 1), (2, 2), (2, 4), (4, 8)):
+        found = pairs(
+            ivf_topk_two_level(
+                vecs, queries, k=K, n_probe_coarse=pc, n_probe_fine=pf,
+                index=idx2,
+            ),
+            "query_id", "vec_id",
+        )
+        r, _ = rp(found, truth_k)
+        lines.append(
+            f"| ivf_topk_two_level 4x4,probe_c={pc},probe_f={pf} "
+            f"| recall@{K} vs brute force | {len(found)} hits | {r:.3f} | — |"
+        )
+
     # ---- embedding near-dup: vs brute-force cosine threshold ------------
     # the synthetic embeddings contain no natural pairs above 0.98, so the
     # truth set is made non-empty by planting PERTURBED near-duplicates
@@ -216,6 +237,12 @@ def main() -> None:
         "Precision is post-verification (every operator exact-verifies its\n"
         "candidates), so <1.0 precision only appears where the verification\n"
         "statistic is itself an estimate (minhash signature Jaccard).\n\n"
+        "Round-4 note: the ANN plane/centroid matrices moved from plan\n"
+        "literals to a broadcast one-row array column (similarity.py\n"
+        "`_with_matrix`). The signatures are BIT-IDENTICAL to the literal\n"
+        "form (same planes, same left-to-right arithmetic — parity pytest\n"
+        "`test_broadcast_signature_matches_literal_form`), so recall\n"
+        "numbers carry over unchanged across that refactor.\n\n"
         "| operator / knobs | measured against | found | recall | precision |\n"
         "|---|---|---|---|---|\n"
     )
@@ -253,6 +280,12 @@ def main() -> None:
   quantizer helps but cannot beat weak cluster structure. At scale,
   n_centroids grows ~sqrt(N) and n_probe buys recall at linear query
   cost; exact-duplicate recall is 1.0 by construction (same bucket).
+* **Two-level IVF (round 5) is a residency change, not a quality
+  trade**: at the same effective cell count (4×4 = 16) its recall rows
+  track the flat quantizer's probe-for-probe — the probed fraction
+  still sets recall; only where the centroids LIVE changed (driver
+  matrix → per-cell DataFrame rows). The comparison is the quality-side
+  companion to the residency proxies in tests/test_ivf_two_level.py.
 """
     out = hdr + "\n".join(lines) + "\n" + footer
     with open(os.path.join(REPO, "QUALITY.md"), "w") as f:

@@ -811,3 +811,96 @@ def ivf_topk_two_level(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def write_ivf_index_two_level(
+    corpus: DataFrame,
+    path: str,
+    index: TwoLevelIVF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the two-level inverted file PARTITIONED BY
+    (coarse_id, fine_id) — ``.../coarse_id=<i>/fine_id=<j>/``. Probing
+    n_probe_fine of k_coarse × k_fine cells then reads only those
+    directories (manifest-level pruning on Iceberg). The write shuffles
+    on nothing extra: assignment is the broadcast-coarse + fine-join
+    projection and partitionBy splits files per cell within each task."""
+    assign_two_level(corpus, index, id_col, vec_col).write.partitionBy(
+        "coarse_id", "fine_id"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_topk_two_level_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    index: TwoLevelIVF,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe_coarse: int = 4,
+    n_probe_fine: int = 4,
+) -> DataFrame:
+    """Top-k over the persisted two-level inverted file with STATIC
+    partition pruning on BOTH levels.
+
+    The probed (coarse_id, fine_id) pairs across all queries number at
+    most min(|Q| × n_probe_fine, k_coarse × k_fine) — tiny — so they are
+    collected and pushed as an exact disjunction of per-pair conjunctions:
+    the scan's PartitionFilters skip every unprobed directory at
+    file-listing time. Mirrors ``ivf_topk_indexed``'s design with the
+    flat quantizer replaced by the residency-bounded two-level one."""
+    qc = _with_matrix(queries, index.coarse, "_cents").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(_dots_from_matrix(vec_col, "_cents")).alias(
+            "coarse_id", "_cdot"
+        ),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_cdot").desc(), F.col("coarse_id").asc()
+    )
+    qprobe = (
+        qc.withColumn("_cr", F.row_number().over(wc))
+        .filter(F.col("_cr") <= n_probe_coarse)
+        .drop("_cr", "_cdot")
+    )
+    qfine = qprobe.join(F.broadcast(index.fine), "coarse_id").select(
+        "query_id",
+        "qv",
+        "coarse_id",
+        F.posexplode(_dots_from_matrix("qv", "fines")).alias("fine_id", "_fdot"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("_fdot").desc(), F.col("coarse_id").asc(), F.col("fine_id").asc()
+    )
+    probes = (
+        qfine.withColumn("_fr", F.row_number().over(wf))
+        .filter(F.col("_fr") <= n_probe_fine)
+        .select("query_id", "qv", "coarse_id", "fine_id")
+        .localCheckpoint(eager=True)  # GC-scoped; feeds collect + join
+    )
+    pairs = {
+        (r["coarse_id"], r["fine_id"])
+        for r in probes.select("coarse_id", "fine_id").distinct().collect()
+    }
+    pred = None
+    for ci, fi in sorted(pairs):
+        p = (F.col("coarse_id") == ci) & (F.col("fine_id") == fi)
+        pred = p if pred is None else (pred | p)
+    inv = spark.read.parquet(index_path).filter(
+        pred if pred is not None else F.lit(False)
+    )
+    cand = probes.join(inv, ["coarse_id", "fine_id"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )

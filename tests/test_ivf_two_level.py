@@ -127,3 +127,44 @@ def test_fine_training_is_distributed(spark, corpus):
     assert inv.filter(
         F.col("coarse_id").isNull() | F.col("fine_id").isNull()
     ).count() == 0
+
+
+def test_two_level_indexed_parity_and_pruning(spark, corpus, tmp_path):
+    """The persisted (coarse_id, fine_id)-partitioned inverted file must
+    (a) return exactly what the in-memory two-level probe returns for
+    the same quantizer, and (b) prune unprobed cell directories at the
+    scan — PartitionFilters over BOTH partition levels."""
+    import os
+    import re
+
+    from neontology_spark.similarity import (
+        ivf_topk_two_level,
+        ivf_topk_two_level_indexed,
+        train_ivf_two_level,
+        write_ivf_index_two_level,
+    )
+
+    idx = train_ivf_two_level(corpus, k_coarse=4, k_fine=3, iters=2)
+    path = str(tmp_path / "ivf2")
+    write_ivf_index_two_level(corpus, path, idx)
+    coarse_dirs = [d for d in os.listdir(path) if d.startswith("coarse_id=")]
+    assert len(coarse_dirs) >= 2
+    assert any(
+        d.startswith("fine_id=")
+        for d in os.listdir(os.path.join(path, coarse_dirs[0]))
+    )
+
+    queries = corpus.limit(4)
+    kw = dict(k=3, n_probe_coarse=2, n_probe_fine=3)
+    expected = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk_two_level(corpus, queries, index=idx, **kw).collect()
+    }
+    out = ivf_topk_two_level_indexed(spark, path, queries, idx, **kw)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()}
+    assert got == expected and len(got) > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*coarse_id[^\]]*\]", plan)
+    assert m, plan
+    assert "fine_id" in m.group(0), m.group(0)
