@@ -1227,6 +1227,84 @@ ORDER BY n.n_nationkey
 """
 
 
+# TEXT — benchmark decontamination (n-gram overlap vs a held-out set):
+# bench = 3 docs; corpus = a disjoint id range PLUS planted full copies
+# of the bench docs (ids +900000) — those must surface with maximal
+# shared-8-gram counts, along with any natural cross-duplicates. The
+# engine joins on xxhash64 of the gram; the oracle joins on the gram
+# string — equal results unless a 64-bit collision occurs (none at this
+# scale). n_kept folds decontaminate()'s anti-join into the compared
+# frame (corpus rows minus flagged docs).
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.textops import contamination_report, decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(
+        (F.col("doc_id") % 100 == 3) & (F.col("doc_id") < 300)
+    ).select(F.col("doc_id").alias("bench_id"), "text")
+    corpus = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 800))
+        .select("doc_id", "text")
+        .unionByName(
+            bench.select((F.col("bench_id") + 900000).alias("doc_id"), "text")
+        )
+    )
+    rep = contamination_report(corpus, bench, n=8)
+    n_kept = decontaminate(corpus, bench, n=8).count()
+    return (
+        rep.withColumn("n_kept", F.lit(n_kept).cast("long"))
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+O_DECONTAM = r"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, text FROM documents
+  WHERE doc_id % 100 = 3 AND doc_id < 300
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 800
+  UNION ALL
+  SELECT bench_id + 900000, text FROM bench
+),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM corpus
+),
+btoks AS (
+  SELECT bench_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM bench
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[j:j+7], ' ') AS g
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 6, 1))) AS j
+        FROM ctoks)
+),
+bg AS (
+  SELECT DISTINCT bench_id, array_to_string(toks[j:j+7], ' ') AS g
+  FROM (SELECT bench_id, toks,
+               unnest(range(1, greatest(len(toks) - 6, 1))) AS j
+        FROM btoks)
+),
+rep AS (
+  SELECT cg.doc_id, bg.bench_id, count(*) AS n_shared_ngrams
+  FROM cg JOIN bg USING (g)
+  GROUP BY cg.doc_id, bg.bench_id
+)
+SELECT doc_id, bench_id, n_shared_ngrams,
+       (SELECT count(*) FROM corpus)
+         - (SELECT count(DISTINCT doc_id) FROM rep) AS n_kept
+FROM rep ORDER BY doc_id, bench_id
+"""
+
+
 # TEXT — corpus token-frequency top-k (vocabulary head): explode + one
 # map-side-combinable groupBy + TakeOrderedAndProject; ties at the k
 # boundary break on token asc in both engines.
@@ -2219,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_two_level": _shipped(q_ivf_ann_two_level),
         "dedup_incremental": _shipped(q_dedup_incremental),
         "text_top_tokens": _shipped(q_text_top_tokens),
+        "text_decontaminate": _shipped(q_text_decontaminate),
         "text_pii_redact": _shipped(q_text_pii_redact),
         "text_repetition": _shipped(q_text_repetition),
         "run_query_escape": _shipped(q_run_query_escape),
@@ -2275,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_two_level": O_IVF_TWO_LEVEL,
         "dedup_incremental": O_DEDUP_INCR,
         "text_top_tokens": O_TOP_TOKENS,
+        "text_decontaminate": O_DECONTAM,
         "text_pii_redact": O_PII,
         "text_repetition": O_REPETITION,
         "run_query_escape": O_RUN_QUERY,

@@ -26,7 +26,7 @@ Scale notes:
 from __future__ import annotations
 
 import struct
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -309,3 +309,115 @@ def audio_features(df: DataFrame, id_col: str = "audio_id", bytes_col: str = "by
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(kernel, schema=AUDIO_FEATURES_DDL)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (dHash) + stored-phash consistency — the payload-side
+# complement of the metadata uniqueness check on ``phash``: recompute the
+# hash FROM THE PIXELS and compare against the stored column, so a row
+# whose bytes were swapped/corrupted without updating its phash (or vice
+# versa) surfaces even though both halves look individually valid.
+# ---------------------------------------------------------------------------
+
+
+def dhash64(px: np.ndarray) -> Optional[int]:
+    """64-bit difference hash of a luma plane: block-average to an 8×9
+    grid (integral-image block means — exact for ANY input size ≥ 8×9),
+    then bit k = grid[r, c+1] > grid[r, c] row-major. Returns the
+    UNSIGNED value (0..2^64-1); None for inputs too small to grid.
+    Fully vectorized; invariant to resolution by construction, tolerant
+    to small luma shifts (quantization moves a bit only where adjacent
+    block means nearly tie)."""
+    h, w = px.shape
+    if h < 8 or w < 9:
+        return None
+    ys = (np.arange(9, dtype=np.int64) * h) // 8
+    xs = (np.arange(10, dtype=np.int64) * w) // 9
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = px.astype(np.int64).cumsum(0).cumsum(1)
+    sums = (
+        ii[ys[1:, None], xs[None, 1:]]
+        - ii[ys[:-1, None], xs[None, 1:]]
+        - ii[ys[1:, None], xs[None, :-1]]
+        + ii[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    grid = sums / areas
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def signed64(u: int) -> int:
+    """Reinterpret an unsigned 64-bit hash as the int64 the storage
+    column carries (two's complement)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+PHASH_CONSISTENCY_DDL = (
+    "image_id string, decode_ok boolean, stored_phash long, "
+    "recomputed_phash long, hamming int"
+)
+
+
+def phash_consistency(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Per row: decode the blob, recompute ``dhash64``, and report the
+    hamming distance to the stored int64 phash (bit-reinterpreted).
+    decode failures / too-small images report decode_ok=False with NULL
+    hamming. Input is projected to (id, bytes, phash) before the Arrow
+    boundary; output carries no payload. Threshold downstream:
+    ``hamming = 0`` for lossless codecs, a small tolerance for lossy
+    ones (quantization flips a bit only where adjacent block means
+    nearly tie)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            out = {
+                "image_id": pdf[id_col].astype(str),
+                "decode_ok": np.zeros(n, dtype=bool),
+                "stored_phash": pdf[phash_col].to_numpy(dtype=np.int64),
+                "recomputed_phash": np.zeros(n, dtype=np.int64),
+                "hamming": np.full(n, -1, dtype=np.int32),
+            }
+            for k in range(n):
+                px = _decode(pdf[bytes_col].iloc[k])
+                if px is None:
+                    continue
+                u = dhash64(px)
+                if u is None:
+                    continue
+                out["decode_ok"][k] = True
+                out["recomputed_phash"][k] = np.uint64(u).astype(np.int64)
+                stored_u = np.int64(out["stored_phash"][k]).astype(np.uint64)
+                x = int(stored_u ^ np.uint64(u))
+                out["hamming"][k] = bin(x).count("1")
+            res = pd.DataFrame(out)
+            # -1 is the in-kernel NULL marker; surface as real NULLs
+            res["hamming"] = res["hamming"].astype("Int32")
+            res.loc[~res["decode_ok"], "hamming"] = pd.NA
+            yield res
+
+    return df.select(id_col, bytes_col, phash_col).mapInPandas(
+        kernel, schema=PHASH_CONSISTENCY_DDL
+    )
+
+
+def phash_violations(
+    df: DataFrame,
+    max_hamming: int = 0,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Rows whose stored phash disagrees with the pixels beyond
+    ``max_hamming`` (or that fail to decode) — the violation stream for
+    the phash-consistency invariant."""
+    rep = phash_consistency(df, id_col, bytes_col, phash_col)
+    return rep.filter(
+        (~F.col("decode_ok")) | (F.col("hamming") > max_hamming)
+    )

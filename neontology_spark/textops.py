@@ -282,3 +282,95 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(duplicate_line_fraction(text_col), 6).alias("dup_line_frac"),
         F.round(top_ngram_fraction(text_col, 2), 6).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out/test set) — the
+# standard LLM-curation stage that keeps evaluation data out of training
+# corpora. No reference analogue; brief-mandated pipeline extension.
+# ---------------------------------------------------------------------------
+
+
+def ngrams(col: str, n: int = 8) -> Column:
+    """Distinct word n-grams of the normalized text, as strings — a pure
+    array expression (sequence + transform + slice), JVM-side, no UDF.
+    Documents shorter than ``n`` tokens yield an empty array."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda j: F.array_join(F.slice(toks, j, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per (document, benchmark item) n-gram overlap:
+    (doc_id, bench_id, n_shared_ngrams). A row exists only for pairs
+    sharing ≥1 n-gram; downstream thresholds decide contamination.
+
+    Scale design: the benchmark side (an eval/test set, ~10^4-10^6
+    items) explodes to DISTINCT (ngram, bench_id) rows and — being tiny
+    next to a 10^12-doc corpus — broadcasts; the corpus side explodes
+    its distinct n-grams (array expression, no shuffle) and the join is
+    then map-side. One groupBy(doc, bench) counts shared n-grams. With
+    ``broadcast_benchmark=False`` the same plan shuffles on the n-gram
+    hash instead (both sides exploded) — the fallback when the
+    benchmark outgrows broadcast, still one shuffle. n-grams join on
+    xxhash64, not the string: 8-word grams average ~50 bytes and the
+    shuffle/broadcast carries 8-byte keys (hash collisions at 64 bits
+    are ~N²/2⁶⁵ — negligible at any benchmark size)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams(text_col, n)).alias("_g"),
+    ).select("doc_id", F.xxhash64("_g").alias("_gh"))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(ngrams(bench_text_col, n)).alias("_g"),
+    ).select("bench_id", F.xxhash64("_g").alias("_gh")).dropDuplicates()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        d.join(b, "_gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Drop documents sharing ≥ ``min_overlap`` distinct n-grams with ANY
+    benchmark item (the conservative eval-decontamination rule). Returns
+    the kept rows of ``docs`` unchanged; one anti-join against the
+    flagged doc-id set (tiny: contamination is rare by construction)."""
+    flagged = (
+        contamination_report(
+            docs, benchmark, n, text_col, id_col, bench_text_col, bench_id_col
+        )
+        .filter(F.col("n_shared_ngrams") >= min_overlap)
+        .select("doc_id")
+        .dropDuplicates()
+    )
+    return docs.join(
+        flagged, docs[id_col] == flagged["doc_id"], "left_anti"
+    )

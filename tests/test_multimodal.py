@@ -130,3 +130,74 @@ def test_feature_kernel_prunes_payload_inputs(images, spark, tmp_path_factory):
     plan = feats._jdf.queryExecution().executedPlan().toString()
     schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
     assert schemas and all("caption" not in s and "phash" not in s for s in schemas)
+
+
+def test_phash_consistency_detects_mismatches(spark):
+    """Recompute-from-pixels vs stored phash: clean lossless rows are
+    hamming 0; lossy quantization moves at most a few near-tie bits; a
+    planted wrong phash and a corrupted blob are flagged. The kernel is
+    golden-tested against a pure-python dhash recomputation."""
+    import numpy as np
+    import pandas as pd
+
+    from neontology_spark.images import _encode, _pixels
+    from neontology_spark.multimodal import (
+        dhash64,
+        phash_consistency,
+        phash_violations,
+        signed64,
+    )
+
+    rows = []
+    for i in range(8):
+        w, h = 40 + i, 36 + 2 * i
+        px = _pixels(i, w, h)
+        fmt = "png" if i % 2 == 0 else "jpeg"  # jpeg = lossy //3 quantize
+        blob = _encode(px, fmt)
+        # store the hash of the DECODED pixels for lossless, of the
+        # ORIGINAL for lossy (the realistic ingest: hash-before-encode)
+        stored = signed64(dhash64(px))
+        if i == 5:
+            stored = signed64(dhash64(px) ^ 0x00FF00FF00FF00FF)  # planted lie
+        if i == 7:
+            blob = b"garbage-not-an-image"
+        rows.append((f"img_{i}", blob, stored, fmt))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "phash", "fmt"])
+    )
+
+    rep = {r["image_id"]: r for r in phash_consistency(df).collect()}
+    assert len(rep) == 8
+    assert not rep["img_7"]["decode_ok"]
+    assert rep["img_7"]["hamming"] is None
+    for i in (0, 2, 4, 6):  # lossless: exact
+        assert rep[f"img_{i}"]["hamming"] == 0
+    for i in (1, 3):  # lossy: only near-tie bits may flip
+        assert rep[f"img_{i}"]["hamming"] <= 4
+    assert rep["img_5"]["hamming"] >= 20  # 16 planted byte-flips × 2 runs
+
+    vio = {r["image_id"] for r in phash_violations(df, max_hamming=4).collect()}
+    assert vio == {"img_5", "img_7"}
+
+    # golden parity: kernel's recomputed hash == driver-side dhash64
+    px0 = _pixels(0, 40, 36)
+    assert rep["img_0"]["recomputed_phash"] == signed64(dhash64(px0))
+
+
+def test_dhash_properties():
+    """dhash64 invariances: deterministic, sensitive to content, stable
+    under 2x nearest upscale (same block means ordering), None below the
+    grid size."""
+    import numpy as np
+
+    from neontology_spark.images import _pixels
+    from neontology_spark.multimodal import dhash64
+
+    px = _pixels(42, 45, 33)
+    assert dhash64(px) == dhash64(px)
+    other = _pixels(43, 45, 33)
+    assert dhash64(px) != dhash64(other)
+    up = np.kron(px, np.ones((2, 2), dtype=np.uint8))
+    h1, h2 = dhash64(px), dhash64(up)
+    assert bin(h1 ^ h2).count("1") <= 6  # block-mean ties may flip a few
+    assert dhash64(np.zeros((4, 4), dtype=np.uint8)) is None

@@ -172,3 +172,68 @@ def test_token_frequencies_approx_docs_mode(spark):
     # HLL estimate within 5% on the 100-doc hot tokens; exact plan avoided
     assert abs(approx["common"] - 100) / 100 < 0.05
     assert abs(approx["token"] - 100) / 100 < 0.05
+
+
+def test_decontamination_ngram_overlap(spark):
+    """Planted contamination: doc 10 embeds bench item 1's full text
+    (all its 4-grams), doc 11 shares a partial window, doc 12 is clean;
+    short docs (< n tokens) yield no grams. Broadcast and shuffle
+    formulations agree, and decontaminate() drops exactly the flagged
+    docs at each threshold."""
+    from neontology_spark.textops import (
+        contamination_report,
+        decontaminate,
+        ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+            (11, "xx one two three four yy"),   # one 4-gram of bench 2
+            (12, "completely unrelated content with many words here"),
+            (13, "tiny doc"),                   # < n tokens → no grams
+        ],
+        "doc_id long, text string",
+    )
+    rep = contamination_report(docs, bench, n=4)
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared_ngrams"]
+        for r in rep.collect()
+    }
+    # bench 1 has 3 distinct 4-grams, all inside doc 10
+    assert got[(10, 1)] == 3
+    assert got[(11, 2)] == 1
+    assert not any(d in (12, 13) for d, _ in got)
+
+    # shuffle fallback (benchmark too big to broadcast) — same result
+    rep2 = contamination_report(docs, bench, n=4, broadcast_benchmark=False)
+    got2 = {
+        (r["doc_id"], r["bench_id"]): r["n_shared_ngrams"]
+        for r in rep2.collect()
+    }
+    assert got2 == got
+
+    kept1 = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=4).collect()
+    )
+    assert kept1 == [12, 13]
+    kept2 = sorted(
+        r["doc_id"]
+        for r in decontaminate(docs, bench, n=4, min_overlap=2).collect()
+    )
+    assert kept2 == [11, 12, 13]  # single shared gram survives at 2
+
+    # empty-gram edge: doc shorter than n
+    assert docs.filter(F.col("doc_id") == 13).select(
+        F.size(ngrams("text", 4)).alias("s")
+    ).first()["s"] == 0
+
+    # the benchmark side must enter as a broadcast join by default
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
