@@ -1227,6 +1227,44 @@ ORDER BY n.n_nationkey
 """
 
 
+# STREAMING/BATCH — sessionization over the events table: session_window
+# (no self-join, no whole-table sort) vs the classic gaps-and-islands
+# SQL in DuckDB. Boundary rule pinned: a quiet period >= gap starts a
+# new session (Spark merges only OVERLAPPING [t, t+gap) windows, so the
+# oracle breaks on `ts - lag(ts) >= gap`).
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.streaming import sessionize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return sessionize(ev, gap="30 minutes").orderBy("user_id", "session_start")
+
+
+O_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts, value FROM events WHERE user_id < 40
+),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_sec
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 # TEXT — benchmark decontamination (n-gram overlap vs a held-out set):
 # bench = 3 docs; corpus = a disjoint id range PLUS planted full copies
 # of the bench docs (ids +900000) — those must surface with maximal
@@ -2298,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _shipped(q_dedup_incremental),
         "text_top_tokens": _shipped(q_text_top_tokens),
         "text_decontaminate": _shipped(q_text_decontaminate),
+        "sessionize": _shipped(q_sessionize),
         "text_pii_redact": _shipped(q_text_pii_redact),
         "text_repetition": _shipped(q_text_repetition),
         "run_query_escape": _shipped(q_run_query_escape),
@@ -2355,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": O_DEDUP_INCR,
         "text_top_tokens": O_TOP_TOKENS,
         "text_decontaminate": O_DECONTAM,
+        "sessionize": O_SESSIONIZE,
         "text_pii_redact": O_PII,
         "text_repetition": O_REPETITION,
         "run_query_escape": O_RUN_QUERY,

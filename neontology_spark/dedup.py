@@ -519,13 +519,6 @@ def simhash_pairs(
     candidates = equi-join per chunk, never an all-pairs product. Larger
     max_hamming ⇒ narrower chunks ⇒ looser buckets ⇒ more candidates to
     verify: the standard recall/cost dial."""
-    n_chunks = max_hamming + 1
-    width = SIMHASH_BITS // n_chunks
-    if width < 4:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs {n_chunks} chunks of <4 bits; "
-            "buckets would be useless — use MinHash/Jaccard for loose matching"
-        )
     # localCheckpoint, not persist — GC-scoped storage (see
     # minhash_lsh_pairs); the 64-bit hash feeds both sides of the
     # chunk self-join and the hamming verification
@@ -533,7 +526,33 @@ def simhash_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")),
         "_text",
         "sh",
-    ).drop("_text").localCheckpoint(eager=False)
+    ).drop("_text")
+    return hamming_pairs_64(sh, "sh", "id", max_hamming)
+
+
+def hamming_pairs_64(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming distance ≤ ``max_hamming``
+    over ANY 64-bit hash column — the pigeonhole chunk-join extracted
+    from ``simhash_pairs`` so other 64-bit signatures (image dHash in
+    ``multimodal.image_near_duplicates``) reuse it. Split into
+    max_hamming+1 chunks; any qualifying pair agrees exactly on ≥1
+    chunk, so candidates come from per-chunk equi-joins, never an
+    all-pairs product."""
+    n_chunks = max_hamming + 1
+    width = SIMHASH_BITS // n_chunks
+    if width < 4:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks of <4 bits; "
+            "buckets would be useless — use MinHash/Jaccard for loose matching"
+        )
+    sh = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
+    ).localCheckpoint(eager=False)
 
     def chunk_val(c: int):
         # last chunk absorbs the remainder bits

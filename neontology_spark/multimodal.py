@@ -421,3 +421,63 @@ def phash_violations(
     return rep.filter(
         (~F.col("decode_ok")) | (F.col("hamming") > max_hamming)
     )
+
+
+PERCEPTUAL_HASH_DDL = "image_id string, dhash long, decode_ok boolean"
+
+
+def perceptual_hashes(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(image_id, dhash int64, decode_ok) — the dHash of each blob's
+    pixels, int64 bit-reinterpreted for storage/joins. Arrow kernel over
+    a (id, bytes) projection; undecodable/too-small rows report
+    decode_ok=False with NULL dhash."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            hashes = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            for k in range(n):
+                px = _decode(pdf[bytes_col].iloc[k])
+                u = dhash64(px) if px is not None else None
+                if u is None:
+                    continue
+                ok[k] = True
+                hashes[k] = np.uint64(u).astype(np.int64)
+            res = pd.DataFrame(
+                {
+                    "image_id": pdf[id_col].astype(str),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "decode_ok": ok,
+                }
+            )
+            res.loc[~res["decode_ok"], "dhash"] = pd.NA
+            yield res
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        kernel, schema=PERCEPTUAL_HASH_DDL
+    )
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: (id_a, id_b, hamming) with
+    hamming(dhash_a, dhash_b) ≤ max_hamming — re-encodes, mild
+    quantization, and small luma shifts collide; distinct content
+    doesn't. One Arrow decode pass per image, then the same pigeonhole
+    chunk-join as text SimHash (``dedup.hamming_pairs_64``): candidates
+    come from per-chunk equi-joins, never an all-pairs product — the
+    image-dedup shape that survives 10^12 rows. Undecodable rows drop
+    out (they can never be near-duplicates of anything)."""
+    from .dedup import hamming_pairs_64
+
+    hashes = perceptual_hashes(df, id_col, bytes_col).filter(
+        F.col("decode_ok")
+    )
+    return hamming_pairs_64(hashes, "dhash", "image_id", max_hamming)

@@ -207,3 +207,49 @@ def streaming_dedupe_within_watermark(
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session aggregation via ``session_window``: events of one user
+    within ``gap`` of the previous event share a session; a quiet
+    period of ≥ gap starts a new one. Output: (user, session_start,
+    session_end, n_events, total_value, duration_sec).
+
+    Works identically over a batch frame (one shuffle on the user key;
+    Catalyst's UpdatingSessionsExec merges windows inside each group —
+    no self-join, no window-function sort over the whole table) and a
+    watermarked stream (state = open sessions only). The batch
+    semantics equal the classic gaps-and-islands SQL (lag + cumulative
+    sum) — that formulation is the driver oracle. session_start/end are
+    the observed min/max event times (not the gap-padded window end, so
+    the contract is engine-portable)."""
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        events.groupBy(
+            F.col(user_col), F.session_window(ts, gap).alias("_w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+        )
+        .select(
+            user_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+            F.round(
+                F.col("session_end").cast("double")
+                - F.col("session_start").cast("double"),
+                3,
+            ).alias("duration_sec"),
+        )
+    )

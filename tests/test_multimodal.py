@@ -201,3 +201,54 @@ def test_dhash_properties():
     h1, h2 = dhash64(px), dhash64(up)
     assert bin(h1 ^ h2).count("1") <= 6  # block-mean ties may flip a few
     assert dhash64(np.zeros((4, 4), dtype=np.uint8)) is None
+
+
+def test_image_near_duplicates(spark):
+    """Image near-dup via dHash + the pigeonhole chunk-join: an exact
+    re-encode and a lossy re-encode of the same pixels pair up within
+    the hamming bound; distinct images don't; undecodable blobs drop
+    out. Verified against a brute-force hamming matrix."""
+    import numpy as np
+    import pandas as pd
+
+    from neontology_spark.images import _encode, _pixels
+    from neontology_spark.multimodal import (
+        dhash64,
+        image_near_duplicates,
+        perceptual_hashes,
+    )
+
+    rows = []
+    for i in range(12):
+        px = _pixels(i, 48, 40)
+        rows.append((f"img_{i}", _encode(px, "png")))
+    # near-dup plants: lossy re-encode of img_0, exact copy of img_1
+    rows.append(("dup_lossy_0", _encode(_pixels(0, 48, 40), "jpeg")))
+    rows.append(("dup_exact_1", _encode(_pixels(1, 48, 40), "png")))
+    rows.append(("broken", b"not an image"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes"])
+    )
+
+    H = 4
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"]))): r["hamming"]
+        for r in image_near_duplicates(df, max_hamming=H).collect()
+    }
+    # brute-force ground truth over the decodable rows
+    hashes = {
+        r["image_id"]: r["dhash"]
+        for r in perceptual_hashes(df).collect()
+        if r["decode_ok"]
+    }
+    assert "broken" not in hashes
+    expected = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if d <= H:
+                expected[tuple(sorted((a, b)))] = d
+    assert got == expected
+    assert ("dup_exact_1", "img_1") in got and got[("dup_exact_1", "img_1")] == 0
+    assert ("dup_lossy_0", "img_0") in got

@@ -14,21 +14,25 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _live_rdds(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _live_rdd_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
-def _drain(spark, baseline: int, timeout: float = 60.0) -> int:
-    """Poll until the persistent-RDD registry is back at baseline (the
-    ContextCleaner runs async off JVM weak-ref queues)."""
+def _drain_ids(spark, created: set, timeout: float = 90.0) -> set:
+    """Poll until every RDD id in ``created`` has left the persistent
+    registry (the ContextCleaner runs async off JVM weak-ref queues);
+    returns the stragglers. Tracking ids — not a global count — keeps
+    the assertion independent of whatever other test modules in the
+    shared session are still holding or concurrently releasing."""
     deadline = time.time() + timeout
-    n = _live_rdds(spark)
-    while n > baseline and time.time() < deadline:
+    left = _live_rdd_ids(spark) & created
+    while left and time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
-        n = _live_rdds(spark)
-    return n
+        left = _live_rdd_ids(spark) & created
+    return left
 
 
 @pytest.fixture()
@@ -69,9 +73,7 @@ def test_pair_operators_leave_no_storage(spark, docs, vectors, tmp_path):
         write_ivf_index,
     )
 
-    # drain whatever earlier tests in the shared session left behind so
-    # the baseline is stable
-    baseline = _drain(spark, 0)
+    before = _live_rdd_ids(spark)
 
     minhash_lsh_pairs(docs).count()
     simhash_pairs(docs).count()
@@ -90,6 +92,9 @@ def test_pair_operators_leave_no_storage(spark, docs, vectors, tmp_path):
     ivf_topk_indexed(spark, idx, q, cents, k=2, n_probe=2).count()
     del q
 
-    # while intermediate frames were alive, storage was in use; after
-    # dropping every reference it must drain back to the baseline
-    assert _drain(spark, baseline) <= baseline
+    # while intermediate frames were alive, storage was in use; once
+    # every reference is dropped, each RDD id the operators registered
+    # must leave the persistent registry
+    created = _live_rdd_ids(spark) - before
+    stragglers = _drain_ids(spark, created)
+    assert stragglers == set(), stragglers
