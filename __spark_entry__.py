@@ -1227,11 +1227,40 @@ ORDER BY n.n_nationkey
 """
 
 
+# STREAMING/BATCH — tumbling-window event counts (the batch semantics of
+# streaming.windowed_event_counts — identical code path runs under
+# readStream with the watermark bounding state). DuckDB time_bucket's
+# default origin (2000-01-01) falls on a 5-minute boundary of Spark's
+# epoch-aligned windows, so the bucket edges agree exactly.
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.streaming import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    return (
+        windowed_event_counts(ev, window="5 minutes", group_col="event_type")
+        .withColumn("total_value", F.round("total_value", 6))
+        .orderBy("window_start", "event_type")
+    )
+
+
+O_EVENT_WINDOWS = """
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+       time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total_value
+FROM events WHERE user_id < 60
+GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+"""
+
+
 # STREAMING/BATCH — sessionization over the events table: session_window
 # (no self-join, no whole-table sort) vs the classic gaps-and-islands
-# SQL in DuckDB. Boundary rule pinned: a quiet period >= gap starts a
-# new session (Spark merges only OVERLAPPING [t, t+gap) windows, so the
-# oracle breaks on `ts - lag(ts) >= gap`).
+# SQL in DuckDB. Boundary rule pinned (tests/test_streaming.py): an
+# event exactly `gap` after the previous one still EXTENDS the session
+# (Spark merges touching [t, t+gap) windows); only a strictly longer
+# quiet period starts a new one, so the oracle breaks on
+# `ts - lag(ts) > gap`.
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neontology_spark.streaming import sessionize
 
@@ -1246,7 +1275,7 @@ WITH e AS (
 m AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
@@ -2337,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": _shipped(q_text_top_tokens),
         "text_decontaminate": _shipped(q_text_decontaminate),
         "sessionize": _shipped(q_sessionize),
+        "event_windows": _shipped(q_event_windows),
         "text_pii_redact": _shipped(q_text_pii_redact),
         "text_repetition": _shipped(q_text_repetition),
         "run_query_escape": _shipped(q_run_query_escape),
@@ -2395,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_tokens": O_TOP_TOKENS,
         "text_decontaminate": O_DECONTAM,
         "sessionize": O_SESSIONIZE,
+        "event_windows": O_EVENT_WINDOWS,
         "text_pii_redact": O_PII,
         "text_repetition": O_REPETITION,
         "run_query_escape": O_RUN_QUERY,

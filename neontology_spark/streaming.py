@@ -217,8 +217,9 @@ def sessionize(
     value_col: str = "value",
 ) -> DataFrame:
     """Session aggregation via ``session_window``: events of one user
-    within ``gap`` of the previous event share a session; a quiet
-    period of ≥ gap starts a new one. Output: (user, session_start,
+    within ``gap`` (inclusive — touching windows merge) of the previous
+    event share a session; a strictly longer quiet period starts a new
+    one. Output: (user, session_start,
     session_end, n_events, total_value, duration_sec).
 
     Works identically over a batch frame (one shuffle on the user key;
@@ -226,7 +227,8 @@ def sessionize(
     no self-join, no window-function sort over the whole table) and a
     watermarked stream (state = open sessions only). The batch
     semantics equal the classic gaps-and-islands SQL (lag + cumulative
-    sum) — that formulation is the driver oracle. session_start/end are
+    sum, breaking on ``ts - lag(ts) > gap``) — that formulation is the
+    driver oracle; the inclusive boundary is pinned by pytest. session_start/end are
     the observed min/max event times (not the gap-padded window end, so
     the contract is engine-portable)."""
     ts = F.col(ts_col).cast("timestamp")

@@ -336,3 +336,45 @@ def test_incremental_validate_restart_resumes_epochs(spark, tmp_path):
     assert all(r["count"] == 1 for r in per_part)
     # epoch sequence continued (fresh epoch for the post-restart batch)
     assert verdicts.select("epoch").distinct().count() == 2
+
+
+def test_sessionize_gap_boundary_semantics(spark):
+    """Pin the boundary rule the oracle asserts only statistically: an
+    event arriving exactly `gap` after the previous one still EXTENDS
+    the session (Spark merges touching [t, t+gap) windows — verified
+    here); one microsecond beyond starts a new one. The driver oracle
+    SQL therefore breaks on `> gap`, not `>= gap`. Plus scan pruning:
+    only (ts, user_id, value) reach the scan."""
+    from neontology_spark.streaming import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:10:00", 2.0),         # exactly gap → MERGES
+            (1, "2024-01-01 10:20:00", 4.0),         # exactly gap again
+            (1, "2024-01-01 10:30:00.000001", 8.0),  # 1 µs beyond → NEW
+            (2, "2024-01-01 10:00:00", 1.0),
+        ],
+        "user_id long, ts string, value double",
+    )
+    got = sessionize(ev, gap="10 minutes").orderBy(
+        "user_id", "session_start"
+    ).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    first, second = by_user[1]
+    assert first["n_events"] == 3 and first["total_value"] == 7.0
+    assert second["n_events"] == 1 and second["total_value"] == 8.0
+    assert len(by_user[2]) == 1 and by_user[2][0]["duration_sec"] == 0.0
+
+    # column pruning: the parquet-free local relation still shows the
+    # projected schema; assert against a real scan via the events table
+    import os
+    sf = os.environ["SPARK_GRAFT_SF_DIR"]
+    real = sessionize(spark.read.parquet(f"{sf}/events.parquet"))
+    plan = real._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "ts" in scan and "user_id" in scan and "value" in scan
+    assert "props" not in scan and "event_id" not in scan
