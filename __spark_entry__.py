@@ -1227,6 +1227,46 @@ ORDER BY n.n_nationkey
 """
 
 
+# A6+ — per-group numeric quantiles (distribution stats beyond min/max):
+# exact interpolated percentile, bit-identical to DuckDB quantile_cont
+# (verified to 0 ulp on this data); the 10^12-row path is the same
+# operator with exact=False (GK-sketch approx_percentile), deviation
+# pytest-bounded in tests/test_drift.py.
+def q_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.checks.stats import numeric_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_quantiles(
+        li,
+        ["l_extendedprice", "l_quantity"],
+        probs=(0.1, 0.5, 0.9, 0.99),
+        part_col="l_linenumber",
+    ).orderBy("part", "column", "prob")
+
+
+O_QUANTILES = """
+WITH g AS (
+  SELECT CAST(l_linenumber AS BIGINT) AS part,
+         quantile_cont(l_extendedprice, [0.1, 0.5, 0.9, 0.99]) AS qp,
+         quantile_cont(l_quantity, [0.1, 0.5, 0.9, 0.99]) AS qq
+  FROM lineitem GROUP BY 1
+),
+long AS (
+  SELECT part, 'l_extendedprice' AS "column",
+         unnest([0.1, 0.5, 0.9, 0.99]) AS prob,
+         unnest(qp) AS quantile
+  FROM g
+  UNION ALL
+  SELECT part, 'l_quantity', unnest([0.1, 0.5, 0.9, 0.99]),
+         unnest(qq)
+  FROM g
+)
+SELECT part, "column", CAST(prob AS DOUBLE) AS prob,
+       CAST(quantile AS DOUBLE) AS quantile
+FROM long ORDER BY part, "column", prob
+"""
+
+
 # STREAMING/BATCH — tumbling-window event counts (the batch semantics of
 # streaming.windowed_event_counts — identical code path runs under
 # readStream with the watermark bounding state). DuckDB time_bucket's
@@ -2367,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": _shipped(q_text_decontaminate),
         "sessionize": _shipped(q_sessionize),
         "event_windows": _shipped(q_event_windows),
+        "column_quantiles": _shipped(q_column_quantiles),
         "text_pii_redact": _shipped(q_text_pii_redact),
         "text_repetition": _shipped(q_text_repetition),
         "run_query_escape": _shipped(q_run_query_escape),
@@ -2426,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": O_DECONTAM,
         "sessionize": O_SESSIONIZE,
         "event_windows": O_EVENT_WINDOWS,
+        "column_quantiles": O_QUANTILES,
         "text_pii_redact": O_PII,
         "text_repetition": O_REPETITION,
         "run_query_escape": O_RUN_QUERY,

@@ -24,6 +24,7 @@ from .referential import (
 from .stats import (
     column_stats,
     distinct_sketches,
+    numeric_quantiles,
     sketch_distinct_estimates,
     union_distinct_sketches,
 )
@@ -49,5 +50,6 @@ __all__ = [
     "column_stats",
     "distinct_sketches",
     "union_distinct_sketches",
+    "numeric_quantiles",
     "sketch_distinct_estimates",
 ]

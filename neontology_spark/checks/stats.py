@@ -185,3 +185,63 @@ def sketch_distinct_estimates(sketches: DataFrame) -> DataFrame:
     return sketches.select(
         "column", F.hll_sketch_estimate("sketch").alias("n_distinct")
     )
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: Sequence[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    part_col: Optional[str] = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Long-format quantiles: (part, column, prob, quantile) — the
+    distribution companion to ``column_stats``'s min/max (quantile
+    drift between partitions/snapshots catches shifts a min/max never
+    shows).
+
+    ``exact=True`` uses ``percentile`` — linear interpolation,
+    bit-identical to DuckDB's ``quantile_cont`` (oracle-checked), but
+    it buffers each group's values: fine for audit-scale groups, NOT
+    for 10^12-row groups. ``exact=False`` is the scale path:
+    ``approx_percentile`` (GK sketch, ``accuracy`` controls the rank
+    error bound ~1/accuracy, memory O(accuracy·log n)) — one map-side-
+    combinable aggregate at any size. Same output shape either way;
+    accuracy-vs-exact deviation is pytest-bounded."""
+    plist = [float(p) for p in probs]
+    arr = "array(" + ", ".join(repr(p) for p in plist) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    cols = [c for c in columns if c != part_col]
+    aggs = [
+        F.expr(f"{fn}({c}, {arr}{extra})").alias(f"__q_{c}") for c in cols
+    ]
+    if part_col is None:
+        wide = df.groupBy(F.lit(None).cast("long").alias("part")).agg(*aggs)
+    else:
+        wide = df.groupBy(F.col(part_col).cast("long").alias("part")).agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), F.col(f"__q_{c}").alias("qs"))
+            for c in cols
+        ]
+    )
+    probs_arr = F.array(*[F.lit(p) for p in plist])
+    return (
+        wide.select("part", F.explode(per_col).alias("s"))
+        .select(
+            "part",
+            F.col("s.column").alias("column"),
+            F.explode(
+                F.arrays_zip(
+                    probs_arr.alias("prob"), F.col("s.qs").alias("q")
+                )
+            ).alias("pq"),
+        )
+        .select(
+            "part",
+            "column",
+            F.col("pq.prob").alias("prob"),
+            F.col("pq.q").cast("double").alias("quantile"),
+        )
+    )

@@ -162,3 +162,48 @@ def test_hll_sketches_per_partition_rollup(spark):
     assert per_part.count() == 4
     est = sketch_distinct_estimates(union_distinct_sketches(per_part)).first()
     assert abs(est["n_distinct"] - 1000) / 1000 < 0.05
+
+
+def test_numeric_quantiles_exact_and_approx(spark, sf_dir):
+    """Exact quantiles equal a driver-side numpy recomputation per
+    group; the scale-path approx variant (GK sketch) stays within its
+    rank-error bound of exact. Long-format shape: one row per
+    (part, column, prob)."""
+    import numpy as np
+
+    from neontology_spark.checks import numeric_quantiles
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    probs = (0.1, 0.5, 0.9)
+    exact = numeric_quantiles(
+        li, ["l_extendedprice"], probs=probs, part_col="l_linenumber"
+    )
+    got = {
+        (r["part"], r["prob"]): r["quantile"] for r in exact.collect()
+    }
+    pdf = li.select("l_linenumber", "l_extendedprice").toPandas()
+    for part, g in pdf.groupby("l_linenumber"):
+        vals = g["l_extendedprice"].to_numpy(dtype=float)
+        for p in probs:
+            want = float(np.quantile(vals, p))  # linear interp, like Spark
+            assert got[(part, p)] == pytest.approx(want, rel=1e-12)
+
+    approx = numeric_quantiles(
+        li, ["l_extendedprice"], probs=probs, part_col="l_linenumber",
+        exact=False, accuracy=10_000,
+    )
+    agot = {
+        (r["part"], r["prob"]): r["quantile"] for r in approx.collect()
+    }
+    # GK guarantees RANK error (≤ n/accuracy), not value error, and
+    # approx_percentile returns an actual element (no interpolation) —
+    # so assert via the empirical CDF: the returned value's rank sits
+    # within a whisker of the requested prob
+    for part, g in pdf.groupby("l_linenumber"):
+        vals = np.sort(g["l_extendedprice"].to_numpy(dtype=float))
+        n = len(vals)
+        for p in probs:
+            v = agot[(part, p)]
+            rank = np.searchsorted(vals, v, side="right") / n
+            assert abs(rank - p) <= 1.0 / 10_000 + 2.0 / n, (part, p, v, rank)
