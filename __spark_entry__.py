@@ -1267,6 +1267,49 @@ FROM long ORDER BY part, "column", prob
 """
 
 
+# DRIFT — quantile-based drift vs a baseline snapshot (complements the
+# histogram PSI/KS pair: quantile shifts see location/scale changes at
+# exactly the probed ranks, no bucket-edge choice). Exact mode here for
+# the bit-parity oracle; exact=False (GK sketch) is the 10^12-row path.
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neontology_spark.checks.drift import quantile_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    baseline = li.filter(F.col("l_orderkey") % 2 == 0)
+    m = quantile_drift(
+        baseline,
+        li,
+        ["l_extendedprice"],
+        probs=(0.25, 0.5, 0.75),
+        part_col="l_linenumber",
+        exact=True,
+    )
+    return m.orderBy("part", "prob")
+
+
+O_QUANTILE_DRIFT = """
+WITH base AS (
+  SELECT 'l_extendedprice' AS "column",
+         unnest([0.25, 0.5, 0.75]) AS prob,
+         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75])) AS q_base
+  FROM lineitem WHERE l_orderkey % 2 = 0
+),
+cur AS (
+  SELECT CAST(l_linenumber AS BIGINT) AS part,
+         'l_extendedprice' AS "column",
+         unnest([0.25, 0.5, 0.75]) AS prob,
+         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75])) AS q_cur
+  FROM lineitem GROUP BY 1
+)
+SELECT part, "column", CAST(prob AS DOUBLE) AS prob,
+       CAST(q_base AS DOUBLE) AS q_base, CAST(q_cur AS DOUBLE) AS q_cur,
+       round((q_cur - q_base) / abs(q_base), 6) AS rel_shift,
+       round(q_cur - q_base, 6) AS abs_shift
+FROM cur JOIN base USING ("column", prob)
+ORDER BY part, prob
+"""
+
+
 # STREAMING/BATCH — tumbling-window event counts (the batch semantics of
 # streaming.windowed_event_counts — identical code path runs under
 # readStream with the watermark bounding state). DuckDB time_bucket's
@@ -2408,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _shipped(q_sessionize),
         "event_windows": _shipped(q_event_windows),
         "column_quantiles": _shipped(q_column_quantiles),
+        "quantile_drift": _shipped(q_quantile_drift),
         "text_pii_redact": _shipped(q_text_pii_redact),
         "text_repetition": _shipped(q_text_repetition),
         "run_query_escape": _shipped(q_run_query_escape),
@@ -2468,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": O_SESSIONIZE,
         "event_windows": O_EVENT_WINDOWS,
         "column_quantiles": O_QUANTILES,
+        "quantile_drift": O_QUANTILE_DRIFT,
         "text_pii_redact": O_PII,
         "text_repetition": O_REPETITION,
         "run_query_escape": O_RUN_QUERY,

@@ -21,6 +21,10 @@ from .referential import (
     resolve_endpoints,
     unmatched_rows,
 )
+from .drift import (
+    check_quantile_drift,
+    quantile_drift,
+)
 from .stats import (
     column_stats,
     distinct_sketches,
@@ -52,4 +56,6 @@ __all__ = [
     "union_distinct_sketches",
     "numeric_quantiles",
     "sketch_distinct_estimates",
+    "quantile_drift",
+    "check_quantile_drift",
 ]

@@ -179,3 +179,77 @@ def check_drift(
         ),
     )
     return CheckResult("distribution_drift", label, vio)
+
+
+def quantile_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    columns: Sequence[str],
+    probs: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    part_col: Optional[str] = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quantile-based drift: per (part, column, prob), the current
+    quantile vs the baseline snapshot's global quantile —
+    (part, column, prob, q_base, q_cur, rel_shift, abs_shift).
+
+    Complements the histogram PSI/KS pair: histograms see mass moving
+    between fixed buckets (and are blind inside a bucket); quantile
+    shifts see location/scale changes at exactly the ranks that matter
+    and need no edge choice. Default ``exact=False``: at 10^12 rows the
+    GK sketch is the only viable path, and drift thresholds dwarf its
+    rank error. One aggregate per side, joined on (column, prob) —
+    baseline side is probs × columns rows, broadcast."""
+    from .stats import numeric_quantiles
+
+    base = numeric_quantiles(
+        baseline, columns, probs, None, exact, accuracy
+    ).select(
+        "column", "prob", F.col("quantile").alias("q_base")
+    )
+    cur = numeric_quantiles(
+        current, columns, probs, part_col, exact, accuracy
+    ).select("part", "column", "prob", F.col("quantile").alias("q_cur"))
+    j = cur.join(F.broadcast(base), ["column", "prob"])
+    denom = F.when(F.abs(F.col("q_base")) > 1e-12, F.abs(F.col("q_base")))
+    return j.select(
+        "part",
+        "column",
+        "prob",
+        "q_base",
+        "q_cur",
+        F.round(
+            (F.col("q_cur") - F.col("q_base")) / denom, 6
+        ).alias("rel_shift"),
+        F.round(F.col("q_cur") - F.col("q_base"), 6).alias("abs_shift"),
+    )
+
+
+def check_quantile_drift(
+    metrics: DataFrame,
+    label: str,
+    rel_threshold: float = 0.25,
+) -> CheckResult:
+    """Violation rows = (part, column) where ANY probed quantile shifted
+    more than ``rel_threshold`` relative to baseline (NULL rel_shift —
+    baseline quantile ~0 — falls back to never flagging; use abs
+    thresholds downstream for zero-centered columns)."""
+    worst = (
+        metrics.groupBy("part", "column")
+        .agg(F.max(F.abs(F.col("rel_shift"))).alias("max_rel_shift"))
+        .filter(F.col("max_rel_shift") > rel_threshold)
+    )
+    vio = shape_violations(
+        worst,
+        check="quantile_drift",
+        label=label,
+        part_col="part" if "part" in metrics.columns else None,
+        column=F.col("column"),
+        key=None,
+        detail=F.concat(
+            F.lit("max_rel_shift="),
+            F.round("max_rel_shift", 4).cast("string"),
+        ),
+    )
+    return CheckResult("quantile_drift", label, vio)

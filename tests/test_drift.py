@@ -207,3 +207,26 @@ def test_numeric_quantiles_exact_and_approx(spark, sf_dir):
             v = agot[(part, p)]
             rank = np.searchsorted(vals, v, side="right") / n
             assert abs(rank - p) <= 1.0 / 10_000 + 2.0 / n, (part, p, v, rank)
+
+
+def test_quantile_drift_flags_only_shifted_partition(spark, tables):
+    """The planted 1.5x w/h shift in the last partition must be the only
+    partition the quantile-drift check flags (same contract the
+    histogram PSI/KS check meets) — exact mode for determinism."""
+    from neontology_spark.checks.drift import check_quantile_drift, quantile_drift
+
+    baseline, current = tables
+    m = quantile_drift(
+        baseline, current, ["w"], probs=(0.25, 0.5, 0.75),
+        part_col="part", exact=True,
+    )
+    res = check_quantile_drift(m, label="Image", rel_threshold=0.25)
+    flagged = {(r["part"], r["column"]) for r in res.violations.collect()}
+    assert flagged == {(N_PARTS - 1, "w")}
+    rows = {(r["part"], r["prob"]): r for r in m.collect()}
+    # clean partitions: near-zero shift; shifted partition: ~+50%
+    for (p, prob), r in rows.items():
+        if p < N_PARTS - 1:
+            assert abs(r["rel_shift"]) < 0.1
+        else:
+            assert r["rel_shift"] > 0.3

@@ -112,6 +112,11 @@ def main() -> int:
         ),
     ]
     if args.baseline:
+        from neontology_spark.checks.drift import (
+            check_quantile_drift,
+            quantile_drift,
+        )
+
         baseline = spark.read.parquet(args.baseline)
         edges = [0.0, 16, 32, 48, 64, 80, 96, 112, 128, 160, 256, 1024, 4096]
         base_hist = numeric_histogram(baseline, "w", edges)
@@ -124,7 +129,18 @@ def main() -> int:
                 label="Image",
             )
 
+        def qdrift_check(df):
+            # GK-sketch quantiles (exact=False): the 10^12-row path;
+            # catches location/scale shifts inside histogram buckets
+            return check_quantile_drift(
+                quantile_drift(
+                    baseline, df, ["w", "h"], part_col=args.part_col
+                ),
+                label="Image",
+            )
+
         checks.append(drift_check)
+        checks.append(qdrift_check)
 
     run = ValidationRun(
         spark=spark,
