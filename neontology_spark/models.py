@@ -422,6 +422,26 @@ class RelationshipModel:
     def columns_by_policy(self, policy: MergePolicy) -> list[str]:
         return [p.storage_name for p in self.properties if p.policy is policy]
 
+    def markdown_schema(self) -> str:
+        """Markdown doc for one relationship type — the analogue of the
+        reference's ``md_rel_tables`` row (``schema_utils.py:67-89``:
+        rel type, source/target labels, property table)."""
+        lines = [
+            f"## (:{self.source_label})-[:{self.rel_type}]->"
+            f"(:{self.target_label})",
+            "",
+            f"- merge_on: {', '.join(self.merge_on) or '(none)'}",
+            "",
+            "| property | type | required | policy |",
+            "|---|---|---|---|",
+        ]
+        for p in sorted(self.properties, key=lambda q: (not q.required, q.name)):
+            lines.append(
+                f"| {p.name} | {p.dtype.simpleString()} | "
+                f"{'yes' if p.required else 'no'} | {p.policy.value} |"
+            )
+        return "\n".join(lines) + "\n"
+
 
 # ---------------------------------------------------------------------------
 # Catalog — reference utils.py:10-40, 80-139, 156-176
@@ -505,3 +525,15 @@ class ModelCatalog:
 
     def get_constraints(self) -> list[str]:
         return [c.name for c in self._constraints]
+
+    def markdown_schema(self) -> str:
+        """Whole-graph schema doc: every node model then every
+        relationship model, labels sorted — the catalog-level analogue
+        of the reference's Jinja schema dump (``schema_utils.py:53-89``
+        driven over ``neontology_schema`` objects)."""
+        parts = ["# Graph schema", ""]
+        for label in sorted(self.nodes):
+            parts.append(self.nodes[label].markdown_schema())
+        for rt in sorted(self.rels):
+            parts.append(self.rels[rt].markdown_schema())
+        return "\n".join(parts)

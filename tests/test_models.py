@@ -223,3 +223,46 @@ def test_related_query_registration(spark):
     assert m.run_related("follower_count", edges, "b") == 2
     with pytest.raises(KeyError):
         m.run_related("nope", edges, "b")
+
+
+def test_catalog_markdown_schema():
+    """Whole-graph markdown dump: node sections, rel sections with
+    endpoint arrows and merge_on, properties sorted required-first
+    (reference schema_utils.py:53-89 / basenode.py:620-625)."""
+    from neontology_spark.models import (
+        ModelCatalog,
+        NodeModel,
+        Property,
+        RelationshipModel,
+    )
+
+    cat = ModelCatalog()
+    cat.register_node(
+        NodeModel(
+            label="Person",
+            primary_property="pid",
+            properties=[Property("pid", int), Property("name", str, required=False)],
+        )
+    )
+    cat.register_node(
+        NodeModel(
+            label="City",
+            primary_property="cid",
+            properties=[Property("cid", int)],
+        )
+    )
+    cat.register_rel(
+        RelationshipModel(
+            rel_type="LIVES_IN",
+            source_label="Person",
+            target_label="City",
+            properties=[Property("since", int, required=False)],
+        )
+    )
+    md = cat.markdown_schema()
+    assert md.index("## City") < md.index("## Person")  # sorted labels
+    assert "(:Person)-[:LIVES_IN]->(:City)" in md
+    assert "| since | bigint | no |" in md
+    # required-first ordering inside a node section
+    sec = md[md.index("## Person"):]
+    assert sec.index("| pid |") < sec.index("| name |")
