@@ -1386,7 +1386,7 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 # scale). n_kept folds decontaminate()'s anti-join into the compared
 # frame (corpus rows minus flagged docs).
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from neontology_spark.textops import contamination_report, decontaminate
+    from neontology_spark.textops import contamination_report
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(
@@ -1399,8 +1399,15 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             bench.select((F.col("bench_id") + 900000).alias("doc_id"), "text")
         )
     )
-    rep = contamination_report(corpus, bench, n=8)
-    n_kept = decontaminate(corpus, bench, n=8).count()
+    # one gram join: the report is computed once (GC-scoped checkpoint)
+    # and reused for both the compared rows and the decontaminate-count
+    # column — decontaminate()'s anti-join equals corpus minus the
+    # report's flagged doc set at min_overlap=1 (its own path is
+    # unit-tested in test_textops.py)
+    rep = contamination_report(corpus, bench, n=8).localCheckpoint(
+        eager=False
+    )
+    n_kept = corpus.count() - rep.select("doc_id").distinct().count()
     return (
         rep.withColumn("n_kept", F.lit(n_kept).cast("long"))
         .orderBy("doc_id", "bench_id")
