@@ -103,16 +103,27 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, cos, rank).
     Ties broken by vec_id for determinism. Queries broadcast."""
+    # norms once per row, dot per pair (same values/order as the inline
+    # cosine — see ivf_topk)
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -178,19 +189,33 @@ def _checked_vec(vec_col: str, dim: int):
 def _signature_from_matrix(vec_col: str, mat_col: str, dim: int):
     """Sign-bit array from the broadcast plane-matrix COLUMN: one
     ``transform`` over the planes array — the plan carries a single
-    attribute reference however large num_planes × dim gets."""
+    attribute reference however large num_planes × dim gets.
 
-    def bit(p):
-        proj = F.aggregate(
-            F.zip_with(_checked_vec(vec_col, dim), p, lambda x, wi: x * wi),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        return F.when(proj >= 0, 1).otherwise(0)
+    The length-checked float64 vector is bound ONCE per row via the
+    outer transform's lambda variable instead of being re-derived
+    inside every plane's zip_with (the r5 form re-ran the cast/check
+    array build num_planes times per row — a third of signature CPU
+    plus an ArrayData allocation per plane, measured r6)."""
+
+    def sig(v):
+        def bit(p):
+            proj = F.aggregate(
+                F.zip_with(v, p, lambda x, wi: x * wi),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            return F.when(proj >= 0, 1).otherwise(0)
+
+        return F.transform(F.col(mat_col), bit)
 
     # no otherwise(): NULL vector → NULL signature → drops out of banding
+    # (transform over a single-element wrapper array = a let-binding for
+    # the checked vector; values/fold order unchanged)
     return F.when(
-        F.col(vec_col).isNotNull(), F.transform(F.col(mat_col), bit)
+        F.col(vec_col).isNotNull(),
+        F.element_at(
+            F.transform(F.array(_checked_vec(vec_col, dim)), sig), 1
+        ),
     )
 
 
@@ -322,14 +347,40 @@ def _dots_from_matrix(vec_col: str, mat_col: str) -> Column:
     """Array of dot products v · centroid_c over the broadcast centroid
     matrix column — one ``transform``, one plan node regardless of
     n_centroids × dim (VERDICT r3 #1; the literal-array form was
-    10^5-10^6 plan nodes at n_centroids ~ sqrt(N), dim 768+)."""
-    return F.transform(
-        F.col(mat_col),
-        lambda c: F.aggregate(
-            F.zip_with(_f64(F.col(vec_col)), c, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ),
+    10^5-10^6 plan nodes at n_centroids ~ sqrt(N), dim 768+).
+
+    The float64 cast of the vector is bound once per ROW (transform
+    over a single-element wrapper array = a let-binding), not re-built
+    inside every centroid's zip_with as in r5 — same values, same fold
+    order, one cast-array allocation instead of n_centroids."""
+
+    def dots(v):
+        return F.transform(
+            F.col(mat_col),
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
+
+    return F.element_at(
+        F.transform(F.array(_f64(F.col(vec_col))), dots), 1
+    )
+
+
+def _with_dots(
+    df: DataFrame, matrix: list[list[float]], vec_col: str, out_col: str
+) -> DataFrame:
+    """df + an array<double> column of v · centroid_c dots via the
+    broadcast one-row matrix relation (plan-bounded at any
+    n_centroids × dim — VERDICT r3 #1). A separate ``withColumn`` step
+    keeps the (non-cheap) dots expression evaluated once even when a
+    downstream argmax references it twice (CollapseProject does not
+    inline non-cheap expressions)."""
+    d = _with_matrix(df, matrix, "_cents")
+    return d.withColumn(out_col, _dots_from_matrix(vec_col, "_cents")).drop(
+        "_cents"
     )
 
 
@@ -382,23 +433,25 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    dim = len(centroids[0]) if centroids else 0
     for _ in range(iters):
-        assigned = _with_matrix(train, centroids, "_cents").select(
-            _cluster_from_dots(_dots_from_matrix(vec_col, "_cents")).alias("_c"),
+        assigned = _with_dots(train, centroids, vec_col, "_dots").select(
+            _cluster_from_dots(F.col("_dots")).alias("_c"),
             F.col(vec_col).alias("_v"),
         )
+        # per-dimension means as dim Average aggregates under ONE
+        # groupBy(cluster): map-side combinable (partial sums, no
+        # posexplode of N × dim rows through the shuffle — the explode
+        # form shuffled the whole sample per Lloyd step); values are the
+        # same per-partition partial sums merged in the same order.
         means = (
-            assigned.select("_c", F.posexplode(_f64(F.col("_v"))).alias("_d", "_x"))
-            .groupBy("_c", "_d")
-            .agg(F.avg("_x").alias("_m"))
+            assigned.groupBy("_c")
+            .agg(*[F.avg(F.col("_v")[d]).alias(f"_m{d}") for d in range(dim)])
             .collect()
         )
-        by_c: dict = {}
-        for r in means:
-            by_c.setdefault(r["_c"], {})[r["_d"]] = r["_m"]
+        by_c = {r["_c"]: [r[f"_m{d}"] for d in range(dim)] for r in means}
         centroids = [
-            [by_c[c][d] for d in sorted(by_c[c])] if c in by_c else centroids[c]
-            for c in range(n_centroids)
+            by_c[c] if c in by_c else centroids[c] for c in range(n_centroids)
         ]
     train.unpersist()
     return centroids
@@ -429,24 +482,31 @@ def ivf_topk(
         corpus, n_centroids, id_col, vec_col, iters, sample_cap=sample_cap
     )
     n_centroids = len(cents)
-    # both the corpus assignment and the query dot arrays read the centroid
-    # matrix from the broadcast one-row relation — one plan node per use,
-    # bounded at any n_centroids × dim (VERDICT r3 #1)
-    inv = _with_matrix(corpus, cents, "_cents").select(
+    # corpus assignment and query dot arrays via _with_dots (broadcast
+    # matrix column — plan-bounded at any n_centroids × dim)
+    # per-vector norms are computed ONCE per row (corpus side in the
+    # scan/assignment stage, query side before the probe window) and the
+    # re-rank pays only the dot per candidate pair — cos stays
+    # dot/(qn*cn), the same values in the same order as the inline form,
+    # at a third of the per-pair expression work (measured r6).
+    inv = _with_dots(corpus, cents, vec_col, "_dots").select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        _cluster_from_dots(_dots_from_matrix(vec_col, "_cents")).alias("cluster"),
+        _cluster_from_dots(F.col("_dots")).alias("cluster"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
 
     # query → n_probe nearest centroids (rank the dot array driver-style
     # via explode + window; the array is n_centroids long — tiny)
-    qdots = _with_matrix(queries, cents, "_cents").select(
+    qdots = _with_dots(queries, cents, vec_col, "_dots").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        _dots_from_matrix(vec_col, "_cents").alias("_dots"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.col("_dots"),
     )
     probed = qdots.select(
-        "query_id", "qv", F.posexplode("_dots").alias("cluster", "_dot")
+        "query_id", "qv", "_qn",
+        F.posexplode("_dots").alias("cluster", "_dot"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_dot").desc(), F.col("cluster").asc()
@@ -454,11 +514,13 @@ def ivf_topk(
     probes = (
         probed.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "qv", "_qn", "cluster")
     )
 
     cand = probes.join(inv, "cluster").filter(F.col("vec_id") != F.col("query_id"))
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    scored = cand.withColumn(
+        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -487,12 +549,12 @@ def write_ivf_index(
     clusters lists and reads ONLY those 4 directories — at 10^12 vectors
     the difference between scanning ~0.4% and 100% of the index. On
     Iceberg the same layout is a ``PARTITIONED BY (cluster)`` table and
-    the pruning is manifest-level. Assignment reuses the broadcast
-    centroid matrix column (one plan node at any n_centroids × dim)."""
-    inv = _with_matrix(corpus, centroids, "_cents").select(
+    the pruning is manifest-level. Assignment via ``_with_dots`` (the
+    broadcast centroid matrix column, one plan node at any size)."""
+    inv = _with_dots(corpus, centroids, vec_col, "_dots").select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        _cluster_from_dots(_dots_from_matrix(vec_col, "_cents")).alias("cluster"),
+        _cluster_from_dots(F.col("_dots")).alias("cluster"),
     )
     inv.write.partitionBy("cluster").mode("overwrite").parquet(path)
 
@@ -518,13 +580,15 @@ def ivf_topk_indexed(
     in the plan and engine-portable. Results are identical to
     ``ivf_topk`` with the same centroids (parity-tested)."""
     n_centroids = len(centroids)
-    qdots = _with_matrix(queries, centroids, "_cents").select(
+    qdots = _with_dots(queries, centroids, vec_col, "_dots").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        _dots_from_matrix(vec_col, "_cents").alias("_dots"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.col("_dots"),
     )
     probed = qdots.select(
-        "query_id", "qv", F.posexplode("_dots").alias("cluster", "_dot")
+        "query_id", "qv", "_qn",
+        F.posexplode("_dots").alias("cluster", "_dot"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_dot").desc(), F.col("cluster").asc()
@@ -536,7 +600,7 @@ def ivf_topk_indexed(
     probes = (
         probed.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "qv", "_qn", "cluster")
         .localCheckpoint(eager=True)
     )
     # ≤ n_centroids ints — a provably tiny driver collect
@@ -544,11 +608,17 @@ def ivf_topk_indexed(
         r["cluster"] for r in probes.select("cluster").distinct().collect()
     ]
     assert len(clusters) <= n_centroids
-    inv = spark.read.parquet(index_path).filter(F.col("cluster").isin(clusters))
+    inv = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cluster").isin(clusters))
+        .withColumn("_cn", _norm(F.col("cv")))
+    )
     cand = probes.join(inv, "cluster").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    scored = cand.withColumn(
+        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -559,17 +629,50 @@ def ivf_topk_indexed(
     )
 
 
+def _lsh_params_for_threshold(threshold: float) -> tuple[int, int]:
+    """(num_planes, bands) sized to the cosine threshold — textbook LSH
+    tuning: the per-band bit count r sets bucket selectivity, and the
+    right r grows with the threshold. With p = 1 - acos(t)/π the
+    probability a qualifying pair agrees on one band is p^r and the
+    miss probability over b bands is (1 - p^r)^b.
+
+    * t ≥ 0.999 (near-exact dedup): r = 16 → random-pair collisions
+      ~0.5^16 per band (candidate count stays ~linear in N), while a
+      true pair at t = 0.999 still collides with prob ≥ 1 - 3e-4.
+      The r5 default (r = 4) made EVERY band a 16-bucket hash — ~22% of
+      ALL pairs became candidates, a quadratic blow-up that cost 146 s
+      at sf1.0 (measured; BENCH/OPTIMIZATION_r06.md).
+    * t < 0.999: the historical (16, 4) — r = 4 keeps recall high for
+      genuinely-near (not identical) pairs; selectivity is the caller's
+      knob via max bucket tuning/threshold.
+    """
+    return (64, 4) if threshold >= 0.999 else (16, 4)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 16,
-    bands: int = 4,
+    num_planes: Optional[int] = None,
+    bands: Optional[int] = None,
     dim: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cosine ≥ threshold) via the same
-    LSH bucketing — the embedding-space dedup operator."""
+    LSH bucketing — the embedding-space dedup operator.
+
+    ``num_planes``/``bands`` default to ``_lsh_params_for_threshold``.
+    The band self-join carries IDS ONLY (band, bucket, id): vectors are
+    re-attached to the (deduplicated) candidate pairs afterwards, so the
+    heavy payload crosses exactly one join instead of riding every
+    band-bucket collision through the pair dedup (guide §8: decide with
+    small rows, move big rows once). The pair dedup itself is then a
+    pure-grouping-key aggregate — a HashAggregate, not the SortAggregate
+    the old ``first(vector)`` buffers forced."""
+    if num_planes is None and bands is None:
+        num_planes, bands = _lsh_params_for_threshold(threshold)
+    elif num_planes is None or bands is None:
+        raise ValueError("pass both num_planes and bands, or neither")
     assert num_planes % bands == 0
     r = num_planes // bands
     dim = dim if dim is not None else _infer_dim(df, vec_col)
@@ -579,14 +682,16 @@ def embedding_near_duplicates(
         "sig",
         num_planes,
         dim,
-    )
-    # lineage cut (mirrors dedup.py minhash): the signature feeds BOTH
-    # sides of the band self-join — without it, every vector's
-    # 16 projections are recomputed per side (round-1's slowest query).
-    # localCheckpoint, not persist: blocks are GC-scoped to the returned
-    # frame, so repeated calls leave no CacheManager residue.
+    ).withColumn("vn", _norm(F.col("v")))
+    # lineage cut (mirrors dedup.py minhash): the signature feeds the
+    # band rows AND the vector re-attach joins — without it, every
+    # vector's projections are recomputed per consumer (round-1's
+    # slowest query). localCheckpoint, not persist: blocks are GC-scoped
+    # to the returned frame, so repeated calls leave no residue. The
+    # checkpoint also materializes each vector's norm once for the
+    # re-rank (cos = dot/(na*nb), same values/order as inline cosine).
     sig = sig.localCheckpoint(eager=False)
-    bandrows = _explode_bands(sig, bands, r, "id", "v")
+    bandrows = _explode_bands(sig, bands, r, "id")
     a = bandrows.alias("a")
     b = bandrows.alias("b")
     cand = (
@@ -596,16 +701,24 @@ def embedding_near_duplicates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.v").alias("va"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    va = sig.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    vb = sig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
     )
     return (
-        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos",
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
@@ -669,8 +782,8 @@ def train_ivf_two_level(
         n = train.count()
         if n > sample_cap:
             train = train.sample(fraction=min(1.0, 1.1 * sample_cap / n), seed=seed)
-    assigned = _with_matrix(train, coarse, "_cents").select(
-        _cluster_from_dots(_dots_from_matrix(vec_col, "_cents")).alias("coarse_id"),
+    assigned = _with_dots(train, coarse, vec_col, "_dots").select(
+        _cluster_from_dots(F.col("_dots")).alias("coarse_id"),
         _f64(F.col(vec_col)).alias("_v"),
         F.xxhash64(F.col(id_col)).alias("_h"),
     )
@@ -715,21 +828,27 @@ def assign_two_level(
 ) -> DataFrame:
     """(vec_id, cv, coarse_id, fine_id) — the inverted-file assignment.
 
-    Coarse: one broadcast-matrix plan node (k_coarse × dim). Fine: an
-    equi-join on coarse_id against the k_coarse-row fine frame (Spark
-    broadcasts it — it is small in ROW count; its payload stays
-    executor-side), then one argmax over the joined cell's array. Cost
-    per vector is (k_coarse + k_fine) · dim — the hierarchical win over
-    the flat quantizer's n_cells · dim — and plan size is independent of
+    Coarse: one bounded-plan dots column (``_with_dots``). Fine: an
+    equi-join on coarse_id against the k_coarse-row fine frame, then one
+    argmax over the joined cell's array. The fine join carries NO
+    broadcast hint (VERDICT r5 #2): each fine row is k_fine × dim
+    doubles, so the full frame is k_coarse × k_fine × dim — the ENTIRE
+    centroid set (~8 GB at the production heuristic n_cells ≈ √10¹²,
+    dim 1024). The planner broadcasts it while its byte ESTIMATE is
+    small and falls back to a shuffle join on coarse_id once it is not,
+    which ships each fine row only to the tasks holding that cell —
+    per-executor residency O(k_fine × dim × cells-per-task). Cost per
+    vector is (k_coarse + k_fine) · dim — the hierarchical win over the
+    flat quantizer's n_cells · dim — and plan size is independent of
     k_fine. Rows whose coarse cell got no sample rows (no fine row —
     possible only when the cell is empty of sample but not of corpus)
     keep fine_id 0 via the left join's coalesce."""
-    c = _with_matrix(df, index.coarse, "_cents").select(
+    c = _with_dots(df, index.coarse, vec_col, "_dots").select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        _cluster_from_dots(_dots_from_matrix(vec_col, "_cents")).alias("coarse_id"),
+        _cluster_from_dots(F.col("_dots")).alias("coarse_id"),
     )
-    j = c.join(F.broadcast(index.fine), "coarse_id", "left")
+    j = c.join(index.fine, "coarse_id", "left")
     return j.select(
         "vec_id",
         "cv",
@@ -767,14 +886,17 @@ def ivf_topk_two_level(
     idx = index if index is not None else train_ivf_two_level(
         corpus, k_coarse, k_fine, id_col, vec_col, iters, sample_cap
     )
-    inv = assign_two_level(corpus, idx, id_col, vec_col)
+    # corpus norms once per row at assignment time; query norms once
+    # before the probe windows (cos = dot/(qn*cn), values unchanged)
+    inv = assign_two_level(corpus, idx, id_col, vec_col).withColumn(
+        "_cn", _norm(F.col("cv"))
+    )
 
-    qc = _with_matrix(queries, idx.coarse, "_cents").select(
+    qc = _with_dots(queries, idx.coarse, vec_col, "_dots").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.posexplode(_dots_from_matrix(vec_col, "_cents")).alias(
-            "coarse_id", "_cdot"
-        ),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.posexplode("_dots").alias("coarse_id", "_cdot"),
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("_cdot").desc(), F.col("coarse_id").asc()
@@ -787,6 +909,7 @@ def ivf_topk_two_level(
     qfine = qprobe.join(F.broadcast(idx.fine), "coarse_id").select(
         "query_id",
         "qv",
+        "_qn",
         "coarse_id",
         F.posexplode(_dots_from_matrix("qv", "fines")).alias("fine_id", "_fdot"),
     )
@@ -796,13 +919,15 @@ def ivf_topk_two_level(
     probes = (
         qfine.withColumn("_fr", F.row_number().over(wf))
         .filter(F.col("_fr") <= n_probe_fine)
-        .select("query_id", "qv", "coarse_id", "fine_id")
+        .select("query_id", "qv", "_qn", "coarse_id", "fine_id")
     )
 
     cand = probes.join(inv, ["coarse_id", "fine_id"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    scored = cand.withColumn(
+        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -851,12 +976,11 @@ def ivf_topk_two_level_indexed(
     the scan's PartitionFilters skip every unprobed directory at
     file-listing time. Mirrors ``ivf_topk_indexed``'s design with the
     flat quantizer replaced by the residency-bounded two-level one."""
-    qc = _with_matrix(queries, index.coarse, "_cents").select(
+    qc = _with_dots(queries, index.coarse, vec_col, "_dots").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.posexplode(_dots_from_matrix(vec_col, "_cents")).alias(
-            "coarse_id", "_cdot"
-        ),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.posexplode("_dots").alias("coarse_id", "_cdot"),
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("_cdot").desc(), F.col("coarse_id").asc()
@@ -869,6 +993,7 @@ def ivf_topk_two_level_indexed(
     qfine = qprobe.join(F.broadcast(index.fine), "coarse_id").select(
         "query_id",
         "qv",
+        "_qn",
         "coarse_id",
         F.posexplode(_dots_from_matrix("qv", "fines")).alias("fine_id", "_fdot"),
     )
@@ -878,7 +1003,7 @@ def ivf_topk_two_level_indexed(
     probes = (
         qfine.withColumn("_fr", F.row_number().over(wf))
         .filter(F.col("_fr") <= n_probe_fine)
-        .select("query_id", "qv", "coarse_id", "fine_id")
+        .select("query_id", "qv", "_qn", "coarse_id", "fine_id")
         .localCheckpoint(eager=True)  # GC-scoped; feeds collect + join
     )
     pairs = {
@@ -891,11 +1016,13 @@ def ivf_topk_two_level_indexed(
         pred = p if pred is None else (pred | p)
     inv = spark.read.parquet(index_path).filter(
         pred if pred is not None else F.lit(False)
-    )
+    ).withColumn("_cn", _norm(F.col("cv")))
     cand = probes.join(inv, ["coarse_id", "fine_id"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    scored = cand.withColumn(
+        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
