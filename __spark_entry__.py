@@ -243,9 +243,16 @@ def q_a5_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderstatus", "o_orderpriority"
     )
-    deduped = with_fingerprint(orders).dropDuplicates(["_fp"]).drop("_fp")
-    return deduped.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_unique_rows")
+    # count_distinct(_fp) per status ≡ dropDuplicates(["_fp"]) then
+    # count per status (the fingerprint covers o_orderstatus, so every
+    # row of a fingerprint group shares one status). The dropDuplicates
+    # form compiled to first(o_orderstatus) whose string buffer forces
+    # SortAggregate — two full sorts keyed on 64-char sha2 strings; the
+    # distinct-aggregate form is a pair of HashAggregates with map-side
+    # partial dedup (plans/r06/a5_dedup_fingerprint_{before,after}.txt).
+    fp = with_fingerprint(orders)
+    return fp.groupBy("o_orderstatus").agg(
+        F.count_distinct("_fp").alias("n_unique_rows")
     ).orderBy("o_orderstatus")
 
 
