@@ -34,6 +34,213 @@ from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the incoming plan yields fewer partitions.
+
+    The embeddings tables the similarity operators scan are a few MB of
+    parquet — 1-2 input splits at the session's split size — while the
+    per-row work (signatures, centroid dots, candidate scoring) is the
+    expensive part, so without this the compute stages run on 1-2 of the
+    cluster's cores (measured r6: the ivf re-rank at sf1.0 ran 8-wide on
+    32 cores purely because the index directory produced 8 splits). At
+    production scale the scan yields >= defaultParallelism splits and
+    this is a no-op — the repartition only fires exactly when the data
+    is small enough for the shuffle to be negligible."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _score_pairs_arrow(
+    df: DataFrame,
+    keep: list[str],
+    a_vec: str,
+    b_vec: str,
+    a_norm: str,
+    b_norm: str,
+    out: str = "cos",
+) -> DataFrame:
+    """cos = dot(a, b) / (an * bn) over candidate-pair rows, computed in
+    ONE vectorized Arrow stage (guide §4.2): vectors cross the boundary
+    as flat Arrow buffers (zero row-wise conversion), and the dot is a
+    per-DIMENSION numpy accumulation loop —
+
+        acc = ((0 + a0*b0) + a1*b1) + ...   (float64, left to right)
+
+    — the exact IEEE operation sequence of the JVM fold
+    ``aggregate(zip_with(a, b, *), 0.0, +)``, so results are
+    bit-identical to the expression form (oracle-checked and pytest-
+    asserted). float32 inputs are cast to float64 before any arithmetic,
+    matching ``_f64``. The expression form costs ~160 us per pair
+    (interpreted higher-order lambdas, one ArrayData per zip_with);
+    this kernel does the same work at numpy speed and cut the sf1.0
+    ivf re-rank from ~6.8 s to <1 s (measured r6).
+
+    ``keep`` columns pass through untouched; the input must have
+    non-NULL fixed-dimension vectors (candidate generation drops NULLs
+    upstream — enforced with a fail-fast assert here)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    sel = df.select(*keep, a_vec, b_vec, a_norm, b_norm)
+    out_schema = StructType(
+        [sel.schema[c] for c in keep] + [StructField(out, DoubleType(), True)]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def mat(tbl, name):
+            arr = tbl.column(name)
+            if arr.null_count:
+                raise ValueError(
+                    f"_score_pairs_arrow: NULL vector in {name!r}"
+                )
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            n = len(arr)
+            if n and len(flat) % n:
+                raise ValueError(
+                    f"_score_pairs_arrow: ragged vectors in {name!r}"
+                )
+            return flat.reshape(n, -1).astype(np.float64, copy=False)
+
+        for tbl in batches:
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            av = mat(tbl, a_vec)
+            bv = mat(tbl, b_vec)
+            an = tbl.column(a_norm).to_numpy(zero_copy_only=False)
+            bn = tbl.column(b_norm).to_numpy(zero_copy_only=False)
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(av.shape[1]):
+                acc = acc + av[:, d] * bv[:, d]
+            cos = acc / (an * bn)
+            yield pa.record_batch(
+                [tbl.column(c) for c in keep]
+                + [pa.array(cos, type=pa.float64())],
+                names=keep + [out],
+            )
+
+    return sel.mapInArrow(kernel, schema=out_schema)
+
+
+def _probe_rerank_arrow(
+    inv: DataFrame,
+    probe_rows,
+    key_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "cv",
+    norm_col: str = "_cn",
+) -> DataFrame:
+    """Score every inverted-file row against the queries probing its
+    cell, in ONE Arrow pass over the CORPUS rows — (query_id, vec_id,
+    cos) pair rows out.
+
+    The candidate-pair join this replaces attached a full copy of the
+    query vector to every candidate row, so the scoring stage moved
+    |pairs| x dim vector bytes (JVM -> Python or through codegen'd
+    buffers); here the corpus vectors cross the boundary exactly once
+    and the query set rides the task closure — the same residency
+    contract as the broadcast hash join it replaces (the query side of
+    every top-k API here is already collected/broadcast by design).
+    ``probe_rows`` are collected (query_id, qv, _qn, *key_cols) rows —
+    at most |Q| x n_probe of them.
+
+    Bit-exactness: per (corpus row, query) the dot is accumulated
+    per-DIMENSION in float64 —
+        acc = ((0 + a0*b0) + a1*b1) + ...
+    the exact IEEE sequence of ``aggregate(zip_with(a, b, *), 0.0, +)``
+    — and cos = dot / (qn * cn) with one multiply then one divide, so
+    results are bit-identical to the expression form (pytest-asserted).
+    Self-pairs (vec_id == query_id) are NOT filtered here; callers keep
+    their JVM-side filter."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    # cell key -> (qids int64[m], Q float64[m, dim], qn float64[m])
+    by_key: dict = {}
+    for r in probe_rows:
+        k = tuple(r[c] for c in key_cols)
+        by_key.setdefault(k, []).append(
+            (r["query_id"], [float(x) for x in r["qv"]], float(r["_qn"]))
+        )
+
+    sel = inv.select(*key_cols, id_col, vec_col, norm_col)
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("cos", DoubleType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        packed = {
+            k: (
+                np.asarray([q[0] for q in qs], dtype=np.int64),
+                np.asarray([q[1] for q in qs], dtype=np.float64),
+                np.asarray([q[2] for q in qs], dtype=np.float64),
+            )
+            for k, qs in by_key.items()
+        }
+        for tbl in batches:
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            keys = [
+                tbl.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+            ]
+            vecs = tbl.column(vec_col)
+            if vecs.null_count:
+                raise ValueError("_probe_rerank_arrow: NULL corpus vector")
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            dim = len(flat) // n
+            X = flat.reshape(n, dim).astype(np.float64, copy=False)
+            vids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            cns = tbl.column(norm_col).to_numpy(zero_copy_only=False)
+            if key_cols:
+                row_keys = list(zip(*[k.tolist() for k in keys]))
+                groups: dict = {}
+                for i, k in enumerate(row_keys):
+                    groups.setdefault(k, []).append(i)
+            else:
+                groups = {(): list(range(n))}
+            out_q, out_v, out_c = [], [], []
+            for k, idxs in groups.items():
+                qpack = packed.get(k)
+                if qpack is None:
+                    continue
+                qids, Q, qn = qpack
+                ix = np.asarray(idxs, dtype=np.int64)
+                Xg = X[ix]
+                acc = np.zeros((len(ix), len(qids)), dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + Xg[:, d : d + 1] * Q[:, d][None, :]
+                cos = acc / (qn[None, :] * cns[ix][:, None])
+                m = len(qids)
+                out_q.append(np.tile(qids, len(ix)))
+                out_v.append(np.repeat(vids[ix], m))
+                out_c.append(cos.reshape(-1))
+            if not out_q:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_v), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "cos"],
+            )
+
+    return sel.mapInArrow(kernel, schema=out_schema)
+
+
 def _with_matrix(df: DataFrame, matrix: list[list[float]], col: str) -> DataFrame:
     """Attach a plane/centroid matrix to every row as ONE
     array<array<double>> column via a broadcast single-row cross join.
@@ -105,25 +312,22 @@ def brute_force_topk(
     Ties broken by vec_id for determinism. Queries broadcast."""
     # norms once per row, dot per pair (same values/order as the inline
     # cosine — see ivf_topk)
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col)).alias("_qn"),
+    # query side collected — the r5 form broadcast it (same residency);
+    # the corpus crosses the boundary ONCE and the |Q| x N pair explosion
+    # happens inside the Arrow kernel
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    ).collect()
+    # norms AFTER the spread so the per-row fold runs at full parallelism
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
         )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
-    )
-    scored = (
-        c.crossJoin(q)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos",
-            _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
-        )
+    ).withColumn("_cn", _norm(F.col("cv")))
+    scored = _probe_rerank_arrow(c, q_rows, []).filter(
+        F.col("vec_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -309,8 +513,11 @@ def lsh_topk(
 
     def with_bands(df, id_alias, vec_alias):
         sig = with_hyperplane_signature(
-            df.select(
-                F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+            _spread(
+                df.select(
+                    F.col(id_col).alias(id_alias),
+                    F.col(vec_col).alias(vec_alias),
+                )
             ),
             vec_alias,
             "sig",
@@ -326,8 +533,12 @@ def lsh_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", "vec_id", "cv")
         .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("_qn", _norm(F.col("qv")))
+        .withColumn("_cn", _norm(F.col("cv")))
     )
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    scored = _score_pairs_arrow(
+        cand, ["query_id", "vec_id"], "qv", "cv", "_qn", "_cn"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -425,7 +636,10 @@ def train_ivf_centroids(
             train = train.sample(fraction=frac, seed=seed)
             sampled = True
     if sampled or iters > 0:
-        train = train.persist()
+        # spread BEFORE persisting: the init sort and every Lloyd
+        # assignment run over the cached partitions, and a few-MB
+        # embedding table otherwise caches as 1-2 blocks (1-2 cores)
+        train = _spread(train).persist()
     init_rows = (
         train.select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -489,7 +703,9 @@ def ivf_topk(
     # re-rank pays only the dot per candidate pair — cos stays
     # dot/(qn*cn), the same values in the same order as the inline form,
     # at a third of the per-pair expression work (measured r6).
-    inv = _with_dots(corpus, cents, vec_col, "_dots").select(
+    inv = _with_dots(
+        _spread(corpus.select(id_col, vec_col)), cents, vec_col, "_dots"
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         _cluster_from_dots(F.col("_dots")).alias("cluster"),
@@ -511,15 +727,15 @@ def ivf_topk(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_dot").desc(), F.col("cluster").asc()
     )
-    probes = (
+    probe_rows = (
         probed.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "qv", "_qn", "cluster")
+        .collect()  # |Q| x n_probe rows — the already-broadcast query side
     )
 
-    cand = probes.join(inv, "cluster").filter(F.col("vec_id") != F.col("query_id"))
-    scored = cand.withColumn(
-        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = _probe_rerank_arrow(inv, probe_rows, ["cluster"]).filter(
+        F.col("vec_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -551,7 +767,9 @@ def write_ivf_index(
     Iceberg the same layout is a ``PARTITIONED BY (cluster)`` table and
     the pruning is manifest-level. Assignment via ``_with_dots`` (the
     broadcast centroid matrix column, one plan node at any size)."""
-    inv = _with_dots(corpus, centroids, vec_col, "_dots").select(
+    inv = _with_dots(
+        _spread(corpus.select(id_col, vec_col)), centroids, vec_col, "_dots"
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         _cluster_from_dots(F.col("_dots")).alias("cluster"),
@@ -593,31 +811,23 @@ def ivf_topk_indexed(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_dot").desc(), F.col("cluster").asc()
     )
-    # eager localCheckpoint (not persist): the cluster collect below
-    # materializes probes anyway, and checkpoint blocks are reclaimed
-    # by the ContextCleaner once the result frame is dropped — repeated
-    # index probes (e.g. a bench loop) don't accumulate cached RDDs.
-    probes = (
+    # one collect replaces the r5 eager checkpoint + clusters collect:
+    # the probe set is |Q| x n_probe rows (the already-broadcast query
+    # side) and feeds both the static partition filter and the re-rank
+    # kernel's closure
+    probe_rows = (
         probed.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "qv", "_qn", "cluster")
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    # ≤ n_centroids ints — a provably tiny driver collect
-    clusters = [
-        r["cluster"] for r in probes.select("cluster").distinct().collect()
-    ]
+    clusters = sorted({r["cluster"] for r in probe_rows})
     assert len(clusters) <= n_centroids
-    inv = (
-        spark.read.parquet(index_path)
-        .filter(F.col("cluster").isin(clusters))
-        .withColumn("_cn", _norm(F.col("cv")))
-    )
-    cand = probes.join(inv, "cluster").filter(
+    inv = _spread(
+        spark.read.parquet(index_path).filter(F.col("cluster").isin(clusters))
+    ).withColumn("_cn", _norm(F.col("cv")))
+    scored = _probe_rerank_arrow(inv, probe_rows, ["cluster"]).filter(
         F.col("vec_id") != F.col("query_id")
-    )
-    scored = cand.withColumn(
-        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -677,7 +887,9 @@ def embedding_near_duplicates(
     r = num_planes // bands
     dim = dim if dim is not None else _infer_dim(df, vec_col)
     sig = with_hyperplane_signature(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        ),
         "v",
         "sig",
         num_planes,
@@ -712,13 +924,9 @@ def embedding_near_duplicates(
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
         F.col("vn").alias("nb"),
     )
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "cos",
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        )
+        _score_pairs_arrow(pairs, ["id_a", "id_b"], "va", "vb", "na", "nb")
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
@@ -782,7 +990,7 @@ def train_ivf_two_level(
         n = train.count()
         if n > sample_cap:
             train = train.sample(fraction=min(1.0, 1.1 * sample_cap / n), seed=seed)
-    assigned = _with_dots(train, coarse, vec_col, "_dots").select(
+    assigned = _with_dots(_spread(train), coarse, vec_col, "_dots").select(
         _cluster_from_dots(F.col("_dots")).alias("coarse_id"),
         _f64(F.col(vec_col)).alias("_v"),
         F.xxhash64(F.col(id_col)).alias("_h"),
@@ -843,7 +1051,9 @@ def assign_two_level(
     k_fine. Rows whose coarse cell got no sample rows (no fine row —
     possible only when the cell is empty of sample but not of corpus)
     keep fine_id 0 via the left join's coalesce."""
-    c = _with_dots(df, index.coarse, vec_col, "_dots").select(
+    c = _with_dots(
+        _spread(df.select(id_col, vec_col)), index.coarse, vec_col, "_dots"
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         _cluster_from_dots(F.col("_dots")).alias("coarse_id"),
@@ -916,18 +1126,16 @@ def ivf_topk_two_level(
     wf = Window.partitionBy("query_id").orderBy(
         F.col("_fdot").desc(), F.col("coarse_id").asc(), F.col("fine_id").asc()
     )
-    probes = (
+    probe_rows = (
         qfine.withColumn("_fr", F.row_number().over(wf))
         .filter(F.col("_fr") <= n_probe_fine)
         .select("query_id", "qv", "_qn", "coarse_id", "fine_id")
+        .collect()  # |Q| x n_probe_fine rows — the broadcast query side
     )
 
-    cand = probes.join(inv, ["coarse_id", "fine_id"]).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    scored = cand.withColumn(
-        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
-    )
+    scored = _probe_rerank_arrow(
+        inv, probe_rows, ["coarse_id", "fine_id"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -1000,29 +1208,28 @@ def ivf_topk_two_level_indexed(
     wf = Window.partitionBy("query_id").orderBy(
         F.col("_fdot").desc(), F.col("coarse_id").asc(), F.col("fine_id").asc()
     )
-    probes = (
+    # one collect replaces the r5 eager checkpoint + pairs collect: the
+    # probe set feeds both the static two-level partition filter and the
+    # re-rank kernel's closure
+    probe_rows = (
         qfine.withColumn("_fr", F.row_number().over(wf))
         .filter(F.col("_fr") <= n_probe_fine)
         .select("query_id", "qv", "_qn", "coarse_id", "fine_id")
-        .localCheckpoint(eager=True)  # GC-scoped; feeds collect + join
+        .collect()
     )
-    pairs = {
-        (r["coarse_id"], r["fine_id"])
-        for r in probes.select("coarse_id", "fine_id").distinct().collect()
-    }
+    pairs = {(r["coarse_id"], r["fine_id"]) for r in probe_rows}
     pred = None
     for ci, fi in sorted(pairs):
         p = (F.col("coarse_id") == ci) & (F.col("fine_id") == fi)
         pred = p if pred is None else (pred | p)
-    inv = spark.read.parquet(index_path).filter(
-        pred if pred is not None else F.lit(False)
+    inv = _spread(
+        spark.read.parquet(index_path).filter(
+            pred if pred is not None else F.lit(False)
+        )
     ).withColumn("_cn", _norm(F.col("cv")))
-    cand = probes.join(inv, ["coarse_id", "fine_id"]).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    scored = cand.withColumn(
-        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
-    )
+    scored = _probe_rerank_arrow(
+        inv, probe_rows, ["coarse_id", "fine_id"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
