@@ -203,6 +203,11 @@ def quantile_drift(
     baseline side is probs × columns rows, broadcast."""
     from .stats import numeric_quantiles
 
+    if exact:
+        j = _quantile_drift_exact_fused(baseline, current, columns, probs, part_col)
+        if j is not None:
+            return _shape_quantile_drift(j)
+
     base = numeric_quantiles(
         baseline, columns, probs, None, exact, accuracy
     ).select(
@@ -212,6 +217,68 @@ def quantile_drift(
         current, columns, probs, part_col, exact, accuracy
     ).select("part", "column", "prob", F.col("quantile").alias("q_cur"))
     j = cur.join(F.broadcast(base), ["column", "prob"])
+    return _shape_quantile_drift(j)
+
+
+def _quantile_drift_exact_fused(
+    baseline: DataFrame,
+    current: DataFrame,
+    columns: Sequence[str],
+    probs: Sequence[float],
+    part_col: Optional[str],
+) -> Optional[DataFrame]:
+    """Both probe sets in ONE rank-select run: the baseline rides as an
+    extra (side, part) group of the same three scans, so exact drift
+    costs one pass-set instead of two (half the scans, half the driver
+    actions — measured r6). Results are identical to the two-call form
+    by construction: each group's count/grid/selection is derived per
+    group exactly as the separate calls derive theirs. Returns None for
+    the generic fallback path (NaN/±inf values or too many groups)."""
+    from .stats import _rank_select_core
+
+    spark = baseline.sparkSession
+    cols = [c for c in columns if c != part_col]
+    plist = [float(p) for p in probs]
+
+    def vcols(df):
+        return [F.col(c).cast("double").alias(f"__v_{c}") for c in cols]
+
+    b = baseline.select(
+        F.lit(0).cast("long").alias("__side"),
+        F.lit(None).cast("long").alias("__part"),
+        *vcols(baseline),
+    )
+    cur_part = (
+        F.col(part_col).cast("long") if part_col is not None
+        else F.lit(None).cast("long")
+    ).alias("__part")
+    c = current.select(
+        F.lit(1).cast("long").alias("__side"), cur_part, *vcols(current)
+    )
+    res = _rank_select_core(
+        b.unionByName(c), cols, plist, ["__side", "__part"]
+    )
+    if res is None:
+        return None
+    q_base = {
+        (col, p): q for ((side, _), col, p, q) in res if side == 0
+    }
+    rows = [
+        (part, col, p, q_base.get((col, p)), q)
+        for ((side, part), col, p, q) in res
+        if side == 1
+    ]
+    return spark.createDataFrame(
+        [
+            (p_, c_, float(pr), None if qb is None else float(qb),
+             None if qc is None else float(qc))
+            for (p_, c_, pr, qb, qc) in rows
+        ],
+        schema="part long, column string, prob double, q_base double, q_cur double",
+    )
+
+
+def _shape_quantile_drift(j: DataFrame) -> DataFrame:
     denom = F.when(F.abs(F.col("q_base")) > 1e-12, F.abs(F.col("q_base")))
     return j.select(
         "part",

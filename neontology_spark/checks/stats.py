@@ -302,8 +302,6 @@ def _exact_quantiles_rank_select(
     long-format frame, or None when the input needs the `percentile`
     fallback (NaN/±inf present, or more than _QUANTILE_MAX_GROUPS
     groups)."""
-    import math
-
     spark = df.sparkSession
     if not cols:
         return _quantile_rows_df(spark, [])
@@ -311,13 +309,41 @@ def _exact_quantiles_rank_select(
         F.col(part_col).cast("long") if part_col is not None
         else F.lit(None).cast("long")
     ).alias("part")
-    # the projected (part, values) frame feeds all three passes; the
-    # GC-scoped checkpoint decodes the parquet columns once instead of
-    # three times (blocks are reclaimed with the returned frame — no
-    # cross-run state, same hygiene as the dedup/similarity operators)
     base = df.select(
         part, *[F.col(c).cast("double").alias(f"__v_{c}") for c in cols]
-    ).localCheckpoint(eager=False)
+    )
+    results = _rank_select_core(base, cols, plist, ["part"])
+    if results is None:
+        return None
+    return _quantile_rows_df(
+        spark, [(pk[0], c, p, q) for (pk, c, p, q) in results]
+    )
+
+
+def _rank_select_core(
+    base: DataFrame,
+    cols: Sequence[str],
+    plist: Sequence[float],
+    part_cols: Sequence[str],
+):
+    """The shared rank-select engine over a pre-projected frame holding
+    ``part_cols`` (the group key — generalized to MULTIPLE columns so
+    callers like ``quantile_drift`` can fuse several probe sets into one
+    run) plus ``__v_<c>`` float64 value columns. Returns a list of
+    (group-key tuple, column, prob, quantile) or None for the
+    ``percentile`` fallback.
+
+    r6 shape (vs the first rank-select cut): no localCheckpoint — each
+    of the three passes is a plain column-pruned scan (the checkpoint
+    wrote ~150 MB of blocks per call for no measured win and its
+    eviction churn showed up as cross-query stalls); and the rank→bucket
+    location runs DRIVER-side over the collected histogram (≤ groups ×
+    cols × buckets counts) instead of a window + broadcast join — one
+    less shuffle and two fewer driver actions per call."""
+    import math
+
+    spark = base.sparkSession
+    pc = list(part_cols)
 
     def v(c):
         return F.col(f"__v_{c}")
@@ -336,16 +362,16 @@ def _exact_quantiles_rank_select(
                 F.lit(0),
             ).alias(f"bad__{c}"),
         ]
-    stats = base.groupBy("part").agg(*aggs).collect()
+    stats = base.groupBy(*pc).agg(*aggs).collect()
     if len(stats) > _QUANTILE_MAX_GROUPS:
         return None
     if any(r[f"bad__{c}"] > 0 for r in stats for c in cols):
         return None
 
-    results: list = []  # (part, column, prob, quantile)
-    need: dict = {}  # (pkey, c) -> {n, mn, mx, ranks}
+    results: list = []  # (pkey tuple, column, prob, quantile)
+    need: dict = {}  # (pkey tuple, c) -> {n, mn, mx, ranks}
     for r in stats:
-        pkey = r["part"]
+        pkey = tuple(r[k] for k in pc)
         for c in cols:
             n = r[f"n__{c}"]
             if n == 0:
@@ -362,19 +388,26 @@ def _exact_quantiles_rank_select(
                 ranks.add(int(math.ceil(pos)))
             need[(pkey, c)] = {"n": n, "mn": mn, "mx": mx, "ranks": ranks}
     if not need:
-        return _quantile_rows_df(spark, results)
+        return results
 
     nb = _QUANTILE_BUCKETS
+
+    def group_cond(pkey):
+        cond = None
+        for k, val in zip(pc, pkey):
+            p = F.col(k).eqNullSafe(F.lit(val).cast("long"))
+            cond = p if cond is None else (cond & p)
+        return cond
 
     def bucket_of(c):
         """Bucket id for column c under its group's [mn, mx) grid — the
         IDENTICAL expression in scans 2 and 3, so assignment is
-        consistent; NULL outside needed groups."""
+        consistent; NULL outside needed groups. Monotone by IEEE
+        correctly-rounded -, /, *, floor."""
         expr = F.lit(None).cast("long")
         for (pkey, cc), info in need.items():
             if cc != c:
                 continue
-            cond = F.col("part").eqNullSafe(F.lit(pkey).cast("long"))
             b = F.least(
                 F.floor(
                     (v(c) - F.lit(info["mn"]))
@@ -383,65 +416,56 @@ def _exact_quantiles_rank_select(
                 ).cast("long"),
                 F.lit(nb - 1),
             )
-            expr = F.when(cond & v(c).isNotNull(), b).otherwise(expr)
+            expr = F.when(group_cond(pkey) & v(c).isNotNull(), b).otherwise(expr)
         return expr
 
-    # ---- scan 2: bucket histogram → locate each rank's bucket ----------
+    # ---- scan 2: bucket histogram; ranks located DRIVER-side -----------
     entries = [
         F.struct(F.lit(c).alias("c"), bucket_of(c).alias("b")) for c in cols
     ]
-    bucketed = (
-        base.select("part", F.explode(F.array(*entries)).alias("s"))
-        .select("part", F.col("s.c").alias("column"), F.col("s.b").alias("bucket"))
+    hist = (
+        base.select(*pc, F.explode(F.array(*entries)).alias("s"))
+        .select(*pc, F.col("s.c").alias("column"), F.col("s.b").alias("bucket"))
         .filter(F.col("bucket").isNotNull())
-    )
-    counts = bucketed.groupBy("part", "column", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    from pyspark.sql import Window as _W
-
-    wb = _W.partitionBy("part", "column").orderBy("bucket")
-    cum = counts.withColumn(
-        "cum_after", F.sum("cnt").over(wb)
-    ).withColumn("cum_before", F.col("cum_after") - F.col("cnt"))
-    ranks_rows = [
-        (pkey, c, r) for (pkey, c), info in need.items() for r in info["ranks"]
-    ]
-    ranks_df = spark.createDataFrame(
-        ranks_rows, schema="part long, column string, rank long"
-    )
-    located = (
-        cum.join(
-            F.broadcast(ranks_df),
-            cum["part"].eqNullSafe(ranks_df["part"])
-            & (cum["column"] == ranks_df["column"])
-            & (ranks_df["rank"] >= F.col("cum_before"))
-            & (ranks_df["rank"] < F.col("cum_after")),
-        )
-        .select(
-            cum["part"], cum["column"], "bucket", "rank", "cum_before"
-        )
+        .groupBy(*pc, "column", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
-    # (pkey, c) -> bucket -> [(rank, offset)]
+    by_group: dict = {}  # (pkey, c) -> [(bucket, cnt)]
+    for r in hist:
+        by_group.setdefault(
+            (tuple(r[k] for k in pc), r["column"]), []
+        ).append((r["bucket"], r["cnt"]))
+    # (pkey, c) -> bucket -> [(rank, cum_before)]
     target: dict = {}
-    for r in located:
-        target.setdefault((r["part"], r["column"]), {}).setdefault(
-            r["bucket"], []
-        ).append((r["rank"], r["cum_before"]))
+    for (pkey, c), info in need.items():
+        buckets = sorted(by_group.get((pkey, c), []))
+        want = sorted(info["ranks"])
+        cum = 0
+        wi = 0
+        for b, cnt in buckets:
+            hi = cum + cnt
+            while wi < len(want) and want[wi] < hi:
+                target.setdefault((pkey, c), {}).setdefault(b, []).append(
+                    (want[wi], cum)
+                )
+                wi += 1
+            cum = hi
+            if wi >= len(want):
+                break
 
     # ---- scan 3: exact (value, count) inside candidate buckets only ----
-    # same explode shape as scan 2 (bucket evaluated once per row per
-    # column); membership in the candidate (part, column, bucket) set is
-    # a broadcast semi-join against a tiny frame — a hash probe per row
+    # membership in the candidate (group, column, bucket) set is a
+    # broadcast semi-join against a tiny frame — a hash probe per row
     # instead of a nested when/isin chain (the chain form evaluated the
     # per-group bucket grid three times per row and defeated codegen:
     # 12.3 s vs ~1.5 s for this scan, measured r6 at sf1.0)
     cand_rows = [
-        (pkey, c, b) for (pkey, c), b2r in target.items() for b in b2r
+        pkey + (c, b) for (pkey, c), b2r in target.items() for b in b2r
     ]
+    pc_schema = ", ".join(f"{k}_r long" for k in pc)
     cand_df = spark.createDataFrame(
-        cand_rows, schema="part long, column string, bucket long"
+        cand_rows, schema=f"{pc_schema}, column string, bucket long"
     )
     entries3 = [
         F.struct(
@@ -450,33 +474,29 @@ def _exact_quantiles_rank_select(
         for c in cols
     ]
     exploded3 = (
-        base.select("part", F.explode(F.array(*entries3)).alias("s"))
+        base.select(*pc, F.explode(F.array(*entries3)).alias("s"))
         .select(
-            "part",
+            *pc,
             F.col("s.c").alias("column"),
             F.col("s.b").alias("bucket"),
             F.col("s.val").alias("val"),
         )
         .filter(F.col("bucket").isNotNull())
     )
+    joined = exploded3.join(F.broadcast(cand_df), ["column", "bucket"])
+    for k in pc:
+        joined = joined.filter(F.col(k).eqNullSafe(F.col(f"{k}_r")))
     got = (
-        exploded3.join(
-            F.broadcast(cand_df),
-            ["column", "bucket"],  # part matched null-safe below
-        )
-        .filter(
-            exploded3["part"].eqNullSafe(cand_df["part"])
-        )
-        .select(exploded3["part"], "column", "bucket", "val")
-        .groupBy("part", "column", "bucket", "val")
+        joined.select(*pc, "column", "bucket", "val")
+        .groupBy(*pc, "column", "bucket", "val")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     vals: dict = {}  # (pkey, c, bucket) -> [(val, cnt)]
     for r in got:
-        vals.setdefault((r["part"], r["column"], r["bucket"]), []).append(
-            (r["val"], r["cnt"])
-        )
+        vals.setdefault(
+            (tuple(r[k] for k in pc), r["column"], r["bucket"]), []
+        ).append((r["val"], r["cnt"]))
 
     # ---- exact selection + percentile's interpolation formula ----------
     for (pkey, c), info in need.items():
@@ -502,7 +522,7 @@ def _exact_quantiles_rank_select(
                 # Percentile.getPercentile: lower*(higher-pos)+higher*(pos-lower)
                 q = rank_val[lo] * (hi - pos) + rank_val[hi] * (pos - lo)
             results.append((pkey, c, p, q))
-    return _quantile_rows_df(spark, results)
+    return results
 
 
 def _quantile_rows_df(spark, rows):
