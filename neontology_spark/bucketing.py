@@ -72,3 +72,23 @@ def co_located_unmatched(
         edge_key,
         "left_anti",
     )
+
+
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the incoming plan yields fewer partitions.
+
+    Compute-heavy per-row stages (text normalization fingerprints,
+    signature folds, vector scoring) inherit the SCAN's partitioning —
+    and a few-MB parquet table is 1-2 input splits at the session's
+    split size, so without this those stages run on 1-2 cores of the
+    whole cluster (measured r6: the documents table's md5-normalize
+    fingerprint pass ran single-core at sf1.0). At production sizes the
+    scan already yields >= defaultParallelism splits and this is a
+    no-op; the repartition fires exactly when the shuffle it adds is
+    negligible."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

@@ -90,20 +90,19 @@ def connected_components(
         parent = new.select(
             F.col("node").alias("_pn"), F.col("comp").alias("_pc")
         )
+        # carry the previous label through the round so ONE action both
+        # materializes the lazy checkpoint (count() touches every
+        # partition) and answers the convergence question — the r5 form
+        # paid two jobs per round (eager checkpoint + a changed-count
+        # join) and per-round job overhead dominated on shallow graphs
         new = (
             new.join(parent, new["comp"] == parent["_pn"], "left")
             .select("node", F.coalesce("_pc", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .join(labels.withColumnRenamed("comp", "_old"), "node")
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(
-                labels.withColumnRenamed("comp", "_old"), "node"
-            )
-            .filter(F.col("comp") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("comp") != F.col("_old")).count()
+        labels = new.drop("_old")
         if changed == 0:
             converged = True
             break
@@ -228,7 +227,9 @@ def connected_components_star(
     prev = _edge_checksum(e)
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum aggregate touches every partition,
+        # so one action materializes the round AND tests the fixpoint
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _edge_checksum(e)
         if cur == prev:
             converged = True

@@ -58,7 +58,11 @@ def exact_duplicate_groups(
     ``collect_list`` that only ever holds ``max_ids`` elements; slicing
     after a full collect would still materialize the mega-row.
     ``max_ids=None`` restores unbounded membership (audit mode)."""
-    fp = df.select(
+    from .bucketing import spread_to_parallelism
+
+    # fingerprint AFTER spreading: the normalize+md5 regex pass is the
+    # expensive per-row work and otherwise runs on the scan's 1-2 splits
+    fp = spread_to_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.md5(normalize_text(text_col)).alias("fp_md5")
     )
     if max_ids is None:
@@ -85,9 +89,12 @@ def dedupe_exact(
     + semi-join (two map-side-combinable aggregations) rather than a
     row_number window over the entire table — windows sort whole partitions,
     min() doesn't."""
+    from .bucketing import spread_to_parallelism
+
     fp = F.md5(normalize_text(text_col)).alias("_fp")
     keep = (
-        df.select(F.col(id_col), fp)
+        spread_to_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col), fp)
         .groupBy("_fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)

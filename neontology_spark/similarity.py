@@ -47,11 +47,9 @@ def _spread(df: DataFrame) -> DataFrame:
     production scale the scan yields >= defaultParallelism splits and
     this is a no-op — the repartition only fires exactly when the data
     is small enough for the shuffle to be negligible."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    from .bucketing import spread_to_parallelism
+
+    return spread_to_parallelism(df)
 
 
 def _score_pairs_arrow(
@@ -649,26 +647,76 @@ def train_ivf_centroids(
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dim = len(centroids[0]) if centroids else 0
     for _ in range(iters):
-        assigned = _with_dots(train, centroids, vec_col, "_dots").select(
-            _cluster_from_dots(F.col("_dots")).alias("_c"),
-            F.col(vec_col).alias("_v"),
-        )
-        # per-dimension means as dim Average aggregates under ONE
-        # groupBy(cluster): map-side combinable (partial sums, no
-        # posexplode of N × dim rows through the shuffle — the explode
-        # form shuffled the whole sample per Lloyd step); values are the
-        # same per-partition partial sums merged in the same order.
-        means = (
-            assigned.groupBy("_c")
-            .agg(*[F.avg(F.col("_v")[d]).alias(f"_m{d}") for d in range(dim)])
-            .collect()
-        )
-        by_c = {r["_c"]: [r[f"_m{d}"] for d in range(dim)] for r in means}
+        # Lloyd step as ONE Arrow pass emitting per-task partial
+        # (cluster, count, sum-vector) rows — ≤ tasks × k rows collected
+        # and merged driver-side. The r5 form ran the assignment through
+        # interpreted zip_with/aggregate folds plus dim Average
+        # aggregates (~1.2-1.7 s per step at 20k × 64 on 32 cores,
+        # measured r6); the kernel does the same argmax assignment and
+        # float64 sums at numpy speed. Assignment CONSISTENCY between
+        # the inverted file and the probe side is what the exact-dup
+        # oracle relies on, and both still use the same JVM expression —
+        # training only produces the centroid values.
+        by_c = _lloyd_partials_arrow(train, centroids, vec_col)
         centroids = [
             by_c[c] if c in by_c else centroids[c] for c in range(n_centroids)
         ]
     train.unpersist()
     return centroids
+
+
+def _lloyd_partials_arrow(
+    train: DataFrame, centroids: list[list[float]], vec_col: str
+) -> dict:
+    """One Lloyd recompute: {cluster: mean vector} for non-empty
+    clusters, from per-task partial sums merged on the driver."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        k, dim = C.shape
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for tbl in batches:
+            arr = tbl.column(vec_col)
+            if arr.null_count:
+                keep = ~arr.is_null().to_numpy(zero_copy_only=False)
+                arr = arr.filter(pa.array(keep))
+            n = len(arr)
+            if n == 0:
+                continue
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1).astype(np.float64, copy=False)
+            a = np.argmax(X @ C.T, axis=1)
+            for c in np.unique(a):
+                m = a == c
+                sums[c] += X[m].sum(axis=0)
+                counts[c] += int(m.sum())
+        nz = np.nonzero(counts)[0]
+        if len(nz) == 0:
+            return
+        yield pa.record_batch(
+            [
+                pa.array(nz.astype("int32")),
+                pa.array(counts[nz]),
+                pa.array(list(sums[nz]), type=pa.list_(pa.float64())),
+            ],
+            names=["c", "n", "s"],
+        )
+
+    rows = train.select(vec_col).mapInArrow(
+        kernel, schema="c int, n long, s array<double>"
+    ).collect()
+    agg: dict = {}
+    for r in rows:
+        n0, s0 = agg.get(r["c"], (0, None))
+        s = np.asarray(r["s"], dtype=np.float64)
+        agg[r["c"]] = (n0 + r["n"], s if s0 is None else s0 + s)
+    return {c: [float(x) for x in s / n] for c, (n, s) in agg.items()}
 
 
 def ivf_topk(
@@ -774,7 +822,14 @@ def write_ivf_index(
         F.col(vec_col).alias("cv"),
         _cluster_from_dots(F.col("_dots")).alias("cluster"),
     )
-    inv.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    # cluster assignment runs pre-shuffle at full width; the shuffle on
+    # the partition key then gives ONE file per cluster per writer
+    # instead of writers x clusters small files (256 -> 8 at the bench
+    # shape — commit time and read-side open cost both drop; guide §6's
+    # cluster-by-partition-key-before-write pattern)
+    inv.repartition("cluster").write.partitionBy("cluster").mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def ivf_topk_indexed(
@@ -1156,12 +1211,16 @@ def write_ivf_index_two_level(
     """Materialize the two-level inverted file PARTITIONED BY
     (coarse_id, fine_id) — ``.../coarse_id=<i>/fine_id=<j>/``. Probing
     n_probe_fine of k_coarse × k_fine cells then reads only those
-    directories (manifest-level pruning on Iceberg). The write shuffles
-    on nothing extra: assignment is the broadcast-coarse + fine-join
-    projection and partitionBy splits files per cell within each task."""
-    assign_two_level(corpus, index, id_col, vec_col).write.partitionBy(
+    directories (manifest-level pruning on Iceberg). Assignment is the
+    broadcast-coarse + fine-join projection computed pre-shuffle at full
+    width; the repartition on the partition keys clusters each cell into
+    one writer so the layout is one file per cell, not writers × cells
+    small files (guide §6)."""
+    assign_two_level(corpus, index, id_col, vec_col).repartition(
         "coarse_id", "fine_id"
-    ).mode("overwrite").parquet(path)
+    ).write.partitionBy("coarse_id", "fine_id").mode("overwrite").parquet(
+        path
+    )
 
 
 def ivf_topk_two_level_indexed(
