@@ -294,8 +294,12 @@ def jaccard_pairs(
     ``max_shingle_df`` drops shingles present in more than that many docs —
     the hot-key cap that keeps the candidate-pair count linear-ish at scale.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    from .bucketing import spread_to_parallelism
+
+    base = spread_to_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select(
+        "id", word_shingles("_t", n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
     sizes = base.select("id", "sh_size")
     inv = base.select("id", F.explode("sh").alias("shingle"))
@@ -386,10 +390,16 @@ def minhash_lsh_pairs(
     b=16, r=4 ⇒ collision prob at s=0.6 is 1-(1-0.6^4)^16 ≈ 0.90;
     at s=0.9 ≈ 1.0; at s=0.3 ≈ 0.12 (cheap to verify away).
     """
+    from .bucketing import spread_to_parallelism
+
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # signature AFTER the spread: num_hashes × shingles per row is the
+    # expensive part and otherwise runs on the scan's 1-2 splits
     sig = with_minhash_signature(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")),
+        spread_to_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        ),
         "_text",
         "sig",
         num_hashes,
@@ -529,8 +539,12 @@ def simhash_pairs(
     # localCheckpoint, not persist — GC-scoped storage (see
     # minhash_lsh_pairs); the 64-bit hash feeds both sides of the
     # chunk self-join and the hamming verification
+    from .bucketing import spread_to_parallelism
+
     sh = with_simhash(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")),
+        spread_to_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        ),
         "_text",
         "sh",
     ).drop("_text")

@@ -606,6 +606,7 @@ def train_ivf_centroids(
     iters: int = 2,
     sample_cap: int = 100_000,
     seed: int = 7,
+    n_rows: Optional[int] = None,
 ) -> list[list[float]]:
     """Deterministic mini k-means (spherical-ish, dot-product assignment):
     init = the n_centroids vectors with the smallest xxhash64(id) (a
@@ -626,7 +627,7 @@ def train_ivf_centroids(
     train = corpus.select(id_col, vec_col)
     sampled = False
     if sample_cap is not None:
-        n = train.count()
+        n = n_rows if n_rows is not None else train.count()
         if n > sample_cap:
             # 1.1 oversample margin: Bernoulli undershoot below the cap is
             # harmless (it's a cap, not a quota), overshoot slightly helps
@@ -719,6 +720,42 @@ def _lloyd_partials_arrow(
     return {c: [float(x) for x in s / n] for c, (n, s) in agg.items()}
 
 
+def _collect_probes(
+    queries: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    key_cols: list[str],
+) -> list[dict]:
+    """Collected probe rows [{query_id, qv, _qn, <key>}] — one row per
+    (query, probed cell). Dots come from the same broadcast-matrix JVM
+    expression as the corpus assignment (the exact-dup consistency hook);
+    ranking the n_centroids-long array happens driver-side with the
+    probe window's exact tie rule (dot desc, cell asc)."""
+    qrows = _with_dots(queries, cents, vec_col, "_dots").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.col("_dots"),
+    ).collect()
+    key = key_cols[0]
+    out = []
+    for r in qrows:
+        dots = r["_dots"]
+        if dots is None:  # NULL vector — never probed (matches the
+            continue      # posexplode-of-NULL behavior)
+        ranked = [c for c in range(len(dots)) if dots[c] is not None]
+        ranked.sort(key=lambda c: (-dots[c], c))
+        # NULL dots rank last (desc nulls-last), cell-asc among themselves
+        ranked += [c for c in range(len(dots)) if dots[c] is None]
+        for c in ranked[:n_probe]:
+            out.append(
+                {"query_id": r["query_id"], "qv": r["qv"], "_qn": r["_qn"], key: c}
+            )
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -760,26 +797,12 @@ def ivf_topk(
         _norm(F.col(vec_col)).alias("_cn"),
     )
 
-    # query → n_probe nearest centroids (rank the dot array driver-style
-    # via explode + window; the array is n_centroids long — tiny)
-    qdots = _with_dots(queries, cents, vec_col, "_dots").select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
-        F.col("_dots"),
-    )
-    probed = qdots.select(
-        "query_id", "qv", "_qn",
-        F.posexplode("_dots").alias("cluster", "_dot"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_dot").desc(), F.col("cluster").asc()
-    )
-    probe_rows = (
-        probed.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", "_qn", "cluster")
-        .collect()  # |Q| x n_probe rows — the already-broadcast query side
+    # query → n_probe nearest centroids: the dot arrays are collected
+    # (|Q| rows — the already-broadcast query side) and ranked in plain
+    # python with the window's exact tie rule (dot desc, cluster asc) —
+    # one driver action instead of explode + window + shuffle
+    probe_rows = _collect_probes(
+        queries, cents, id_col, vec_col, n_probe, ["cluster"]
     )
 
     scored = _probe_rerank_arrow(inv, probe_rows, ["cluster"]).filter(
@@ -853,28 +876,13 @@ def ivf_topk_indexed(
     in the plan and engine-portable. Results are identical to
     ``ivf_topk`` with the same centroids (parity-tested)."""
     n_centroids = len(centroids)
-    qdots = _with_dots(queries, centroids, vec_col, "_dots").select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
-        F.col("_dots"),
-    )
-    probed = qdots.select(
-        "query_id", "qv", "_qn",
-        F.posexplode("_dots").alias("cluster", "_dot"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_dot").desc(), F.col("cluster").asc()
-    )
-    # one collect replaces the r5 eager checkpoint + clusters collect:
-    # the probe set is |Q| x n_probe rows (the already-broadcast query
-    # side) and feeds both the static partition filter and the re-rank
-    # kernel's closure
-    probe_rows = (
-        probed.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", "_qn", "cluster")
-        .collect()
+    # one collect replaces the r5 eager checkpoint + explode/window +
+    # clusters collect: the query dot arrays are ranked in plain python
+    # with the window's exact tie rule (dot desc, cluster asc), and the
+    # |Q| x n_probe probe set feeds both the static partition filter and
+    # the re-rank kernel's closure
+    probe_rows = _collect_probes(
+        queries, centroids, id_col, vec_col, n_probe, ["cluster"]
     )
     clusters = sorted({r["cluster"] for r in probe_rows})
     assert len(clusters) <= n_centroids
@@ -1037,12 +1045,14 @@ def train_ivf_two_level(
     and the blocks are GC-reclaimed with the returned handle."""
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
+    # one corpus count serves both the coarse trainer's sampling decision
+    # and the fine-level sample below (was two identical count actions)
+    n = corpus.select(id_col).count() if sample_cap is not None else None
     coarse = train_ivf_centroids(
-        corpus, k_coarse, id_col, vec_col, iters, sample_cap, seed
+        corpus, k_coarse, id_col, vec_col, iters, sample_cap, seed, n_rows=n
     )
     train = corpus.select(id_col, vec_col)
     if sample_cap is not None:
-        n = train.count()
         if n > sample_cap:
             train = train.sample(fraction=min(1.0, 1.1 * sample_cap / n), seed=seed)
     assigned = _with_dots(_spread(train), coarse, vec_col, "_dots").select(
