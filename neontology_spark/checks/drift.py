@@ -234,11 +234,15 @@ def _quantile_drift_exact_fused(
     by construction: each group's count/grid/selection is derived per
     group exactly as the separate calls derive theirs. Returns None for
     the generic fallback path (NaN/±inf values or too many groups)."""
-    from .stats import _rank_select_core
+    from .stats import _rank_select_core, _rank_select_worthwhile
 
     spark = baseline.sparkSession
     cols = [c for c in columns if c != part_col]
     plist = [float(p) for p in probs]
+    # size-gated like numeric_quantiles: below the threshold the one-pass
+    # `percentile` aggregate (generic path) beats three fused scans
+    if not _rank_select_worthwhile(current, len(cols)):
+        return None
 
     def vcols(df):
         return [F.col(c).cast("double").alias(f"__v_{c}") for c in cols]

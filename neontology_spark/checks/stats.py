@@ -219,7 +219,7 @@ def numeric_quantiles(
     is pytest-bounded."""
     plist = [float(p) for p in probs]
     cols = [c for c in columns if c != part_col]
-    if exact:
+    if exact and _rank_select_worthwhile(df, len(cols)):
         out = _exact_quantiles_rank_select(df, cols, plist, part_col)
         if out is not None:
             return out
@@ -287,6 +287,20 @@ def numeric_quantiles(
 # data; driver residency: O(probed ranks × values-per-bucket).
 
 _QUANTILE_BUCKETS = 4096
+# rank-select pays three scans; the `percentile` aggregate pays one scan
+# plus a value->count map per group serialized through the shuffle. The
+# map is what explodes on big near-all-distinct columns (sf1.0: 10.5 s
+# vs ~4 s, measured r6), but BELOW this many total values the one-pass
+# aggregate wins (sf0.1: 1.1 s vs 2.6 s, measured r6) — so pick by size
+# (one cheap count; parquet count(*) is metadata-priced).
+_RANK_SELECT_MIN_VALUES = 4_000_000
+
+
+def _rank_select_worthwhile(df: DataFrame, n_cols: int) -> bool:
+    try:
+        return df.count() * max(n_cols, 1) >= _RANK_SELECT_MIN_VALUES
+    except Exception:
+        return True  # unknown size — prefer the scale-safe path
 # exact mode embeds per-group min/max in the plan: cap the group count
 # (exact quantiles are the audit path; GK sketches are the scale path)
 _QUANTILE_MAX_GROUPS = 64

@@ -297,7 +297,8 @@ def jaccard_pairs(
     from .bucketing import spread_to_parallelism
 
     base = spread_to_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        min_bytes=0,  # shingling explodes output well beyond input bytes
     ).select(
         "id", word_shingles("_t", n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
@@ -398,7 +399,8 @@ def minhash_lsh_pairs(
     # expensive part and otherwise runs on the scan's 1-2 splits
     sig = with_minhash_signature(
         spread_to_parallelism(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")),
+            min_bytes=0,  # 64 hash folds per row — heavy per byte
         ),
         "_text",
         "sig",
@@ -543,7 +545,8 @@ def simhash_pairs(
 
     sh = with_simhash(
         spread_to_parallelism(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")),
+            min_bytes=0,  # 64-bit vote aggregate per row — heavy per byte
         ),
         "_text",
         "sh",

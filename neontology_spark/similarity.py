@@ -49,7 +49,9 @@ def _spread(df: DataFrame) -> DataFrame:
     is small enough for the shuffle to be negligible."""
     from .bucketing import spread_to_parallelism
 
-    return spread_to_parallelism(df)
+    # min_bytes=0: vector folds are heavy per byte — spreading pays for
+    # itself even on sub-MB embedding tables
+    return spread_to_parallelism(df, min_bytes=0)
 
 
 def _score_pairs_arrow(
@@ -914,7 +916,7 @@ def _lsh_params_for_threshold(threshold: float) -> tuple[int, int]:
       true pair at t = 0.999 still collides with prob ≥ 1 - 3e-4.
       The r5 default (r = 4) made EVERY band a 16-bucket hash — ~22% of
       ALL pairs became candidates, a quadratic blow-up that cost 146 s
-      at sf1.0 (measured; BENCH/OPTIMIZATION_r06.md).
+      at sf1.0 (measured; OPTIMIZATION_r06.md).
     * t < 0.999: the historical (16, 4) — r = 4 keeps recall high for
       genuinely-near (not identical) pairs; selectivity is the caller's
       knob via max bucket tuning/threshold.
