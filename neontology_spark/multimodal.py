@@ -377,10 +377,24 @@ def phash_consistency(
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n = len(pdf)
+            # NULL stored phash is exactly the dirty input a consistency
+            # checker must FLAG, not crash on (ADVICE r5: the direct
+            # int64 conversion raised on the first NULL and aborted the
+            # job): track the mask, convert through a 0 sentinel, and
+            # surface those rows with NULL stored/hamming — the
+            # violation filter treats them as inconsistent.
+            stored_raw = pdf[phash_col]
+            null_mask = stored_raw.isna().to_numpy()
+            stored = (
+                pd.to_numeric(stored_raw, errors="coerce")
+                .fillna(0)
+                .astype(np.int64)
+                .to_numpy()
+            )
             out = {
                 "image_id": pdf[id_col].astype(str),
                 "decode_ok": np.zeros(n, dtype=bool),
-                "stored_phash": pdf[phash_col].to_numpy(dtype=np.int64),
+                "stored_phash": stored,
                 "recomputed_phash": np.zeros(n, dtype=np.int64),
                 "hamming": np.full(n, -1, dtype=np.int32),
             }
@@ -393,6 +407,8 @@ def phash_consistency(
                     continue
                 out["decode_ok"][k] = True
                 out["recomputed_phash"][k] = np.uint64(u).astype(np.int64)
+                if null_mask[k]:
+                    continue  # no stored hash to compare against
                 stored_u = np.int64(out["stored_phash"][k]).astype(np.uint64)
                 x = int(stored_u ^ np.uint64(u))
                 out["hamming"][k] = bin(x).count("1")
@@ -400,6 +416,9 @@ def phash_consistency(
             # -1 is the in-kernel NULL marker; surface as real NULLs
             res["hamming"] = res["hamming"].astype("Int32")
             res.loc[~res["decode_ok"], "hamming"] = pd.NA
+            res["stored_phash"] = res["stored_phash"].astype("Int64")
+            res.loc[null_mask, "stored_phash"] = pd.NA
+            res.loc[null_mask, "hamming"] = pd.NA
             yield res
 
     return df.select(id_col, bytes_col, phash_col).mapInPandas(
@@ -419,7 +438,10 @@ def phash_violations(
     the phash-consistency invariant."""
     rep = phash_consistency(df, id_col, bytes_col, phash_col)
     return rep.filter(
-        (~F.col("decode_ok")) | (F.col("hamming") > max_hamming)
+        (~F.col("decode_ok"))
+        | (F.col("hamming") > max_hamming)
+        # a missing stored hash can never be consistent with the pixels
+        | F.col("stored_phash").isNull()
     )
 
 

@@ -252,3 +252,42 @@ def test_image_near_duplicates(spark):
     assert got == expected
     assert ("dup_exact_1", "img_1") in got and got[("dup_exact_1", "img_1")] == 0
     assert ("dup_lossy_0", "img_0") in got
+
+
+def test_phash_consistency_null_stored_hash_flagged_not_crashed(spark):
+    """ADVICE r5: a NULL stored phash is the dirty input the checker
+    exists for — it must surface as a violation row (NULL stored/hamming)
+    instead of aborting the whole job in the int64 conversion."""
+    import pandas as pd
+
+    from neontology_spark.images import _encode, _pixels
+    from neontology_spark.multimodal import (
+        dhash64,
+        phash_consistency,
+        phash_violations,
+        signed64,
+    )
+
+    rows = []
+    for i in range(4):
+        px = _pixels(i, 40, 36)
+        stored = None if i in (1, 3) else signed64(dhash64(px))
+        rows.append((f"img_{i}", bytearray(_encode(px, "png")), stored))
+    # explicit schema: a pandas round-trip would coerce the nullable
+    # int column to float64 and silently corrupt the 64-bit hashes
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, phash long"
+    )
+
+    rep = {r["image_id"]: r for r in phash_consistency(df).collect()}
+    assert len(rep) == 4
+    for i in (1, 3):  # NULL stored: decoded fine, but nothing to match
+        assert rep[f"img_{i}"]["decode_ok"]
+        assert rep[f"img_{i}"]["stored_phash"] is None
+        assert rep[f"img_{i}"]["hamming"] is None
+        assert rep[f"img_{i}"]["recomputed_phash"] is not None
+    for i in (0, 2):  # clean rows unaffected by the NULL neighbors
+        assert rep[f"img_{i}"]["hamming"] == 0
+
+    vio = {r["image_id"] for r in phash_violations(df, max_hamming=0).collect()}
+    assert vio == {"img_1", "img_3"}
