@@ -135,6 +135,7 @@ def _probe_rerank_arrow(
     id_col: str = "vec_id",
     vec_col: str = "cv",
     norm_col: str = "_cn",
+    assign_matrix: Optional[list[list[float]]] = None,
 ) -> DataFrame:
     """Score every inverted-file row against the queries probing its
     cell, in ONE Arrow pass over the CORPUS rows — (query_id, vec_id,
@@ -157,7 +158,16 @@ def _probe_rerank_arrow(
     — and cos = dot / (qn * cn) with one multiply then one divide, so
     results are bit-identical to the expression form (pytest-asserted).
     Self-pairs (vec_id == query_id) are NOT filtered here; callers keep
-    their JVM-side filter."""
+    their JVM-side filter.
+
+    ``assign_matrix``: when given, ``inv`` carries only (id, vector) and
+    the kernel ALSO computes each row's cell key (dim-loop dots +
+    first-max argmax — the identical values and tie rule of the JVM
+    ``_with_dots``/``_cluster_from_dots`` assignment, so the exact-dup
+    consistency hook is preserved bit-for-bit) and its norm (dim-loop
+    sum of squares + IEEE sqrt = ``_norm``). Assignment + norm + scoring
+    then cost ONE pass over the corpus instead of an interpreted
+    assignment projection feeding a separate scoring stage."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     # cell key -> (qids int64[m], Q float64[m, dim], qn float64[m])
@@ -168,7 +178,12 @@ def _probe_rerank_arrow(
             (r["query_id"], [float(x) for x in r["qv"]], float(r["_qn"]))
         )
 
-    sel = inv.select(*key_cols, id_col, vec_col, norm_col)
+    if assign_matrix is not None:
+        assert len(key_cols) == 1, "in-kernel assignment is single-level"
+        sel = inv.select(id_col, vec_col)
+    else:
+        sel = inv.select(*key_cols, id_col, vec_col, norm_col)
+    C0 = assign_matrix
     out_schema = StructType(
         [
             StructField("query_id", LongType(), False),
@@ -189,13 +204,13 @@ def _probe_rerank_arrow(
             )
             for k, qs in by_key.items()
         }
+        C = (
+            np.asarray(C0, dtype=np.float64) if C0 is not None else None
+        )
         for tbl in batches:
             n = tbl.num_rows
             if n == 0:
                 continue
-            keys = [
-                tbl.column(c).to_numpy(zero_copy_only=False) for c in key_cols
-            ]
             vecs = tbl.column(vec_col)
             if vecs.null_count:
                 raise ValueError("_probe_rerank_arrow: NULL corpus vector")
@@ -203,14 +218,33 @@ def _probe_rerank_arrow(
             dim = len(flat) // n
             X = flat.reshape(n, dim).astype(np.float64, copy=False)
             vids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-            cns = tbl.column(norm_col).to_numpy(zero_copy_only=False)
-            if key_cols:
-                row_keys = list(zip(*[k.tolist() for k in keys]))
+            if C is not None:
+                # in-kernel assignment + norm: same dim-loop float64
+                # sequence as the JVM expressions (argmax = first max,
+                # like array_position)
+                dots = np.zeros((n, C.shape[0]), dtype=np.float64)
+                sq = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    dots = dots + X[:, d : d + 1] * C[:, d][None, :]
+                    sq = sq + X[:, d] * X[:, d]
+                assigned = np.argmax(dots, axis=1)
+                cns = np.sqrt(sq)
                 groups: dict = {}
-                for i, k in enumerate(row_keys):
-                    groups.setdefault(k, []).append(i)
+                for c in np.unique(assigned):
+                    groups[(int(c),)] = np.nonzero(assigned == c)[0].tolist()
             else:
-                groups = {(): list(range(n))}
+                cns = tbl.column(norm_col).to_numpy(zero_copy_only=False)
+                if key_cols:
+                    keys = [
+                        tbl.column(c).to_numpy(zero_copy_only=False)
+                        for c in key_cols
+                    ]
+                    row_keys = list(zip(*[k.tolist() for k in keys]))
+                    groups = {}
+                    for i, k in enumerate(row_keys):
+                        groups.setdefault(k, []).append(i)
+                else:
+                    groups = {(): list(range(n))}
             out_q, out_v, out_c = [], [], []
             for k, idxs in groups.items():
                 qpack = packed.get(k)
@@ -239,6 +273,68 @@ def _probe_rerank_arrow(
             )
 
     return sel.mapInArrow(kernel, schema=out_schema)
+
+
+def _assign_arrow(
+    df: DataFrame,
+    matrix: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """(id, vector, cell) in ONE Arrow pass — nearest-centroid assignment
+    with the identical float64 dim-loop dots and first-max argmax of the
+    JVM ``_with_dots``/``_cluster_from_dots`` pair (bit-identical cells,
+    so index-vs-probe consistency is unchanged); NULL vectors get a NULL
+    cell like the expression form. Replaces an interpreted per-row
+    projection costing ~n_centroids × dim lambda evaluations per row."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    in_schema = df.select(id_col, vec_col).schema
+    out_schema = StructType(
+        list(in_schema.fields) + [StructField(out_col, IntegerType(), True)]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(matrix, dtype=np.float64)
+        for tbl in batches:
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            vecs = tbl.column(vec_col)
+            if vecs.null_count:
+                valid = ~vecs.is_null().to_numpy(zero_copy_only=False)
+                dense = vecs.filter(pa.array(valid))
+            else:
+                valid = None
+                dense = vecs
+            m = len(dense)
+            cells = np.full(n, -1, dtype=np.int64)
+            if m:
+                flat = dense.flatten().to_numpy(zero_copy_only=False)
+                dim = len(flat) // m
+                X = flat.reshape(m, dim).astype(np.float64, copy=False)
+                dots = np.zeros((m, C.shape[0]), dtype=np.float64)
+                for d in range(dim):
+                    dots = dots + X[:, d : d + 1] * C[:, d][None, :]
+                a = np.argmax(dots, axis=1)
+                if valid is None:
+                    cells = a
+                else:
+                    cells[valid] = a
+            out_cells = pa.array(
+                [None if c < 0 else int(c) for c in cells],
+                type=pa.int32(),
+            )
+            yield pa.record_batch(
+                [tbl.column(id_col), tbl.column(vec_col), out_cells],
+                names=[id_col, vec_col, out_col],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(kernel, schema=out_schema)
 
 
 def _with_matrix(df: DataFrame, matrix: list[list[float]], col: str) -> DataFrame:
@@ -790,15 +886,6 @@ def ivf_topk(
     # re-rank pays only the dot per candidate pair — cos stays
     # dot/(qn*cn), the same values in the same order as the inline form,
     # at a third of the per-pair expression work (measured r6).
-    inv = _with_dots(
-        _spread(corpus.select(id_col, vec_col)), cents, vec_col, "_dots"
-    ).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-        _cluster_from_dots(F.col("_dots")).alias("cluster"),
-        _norm(F.col(vec_col)).alias("_cn"),
-    )
-
     # query → n_probe nearest centroids: the dot arrays are collected
     # (|Q| rows — the already-broadcast query side) and ranked in plain
     # python with the window's exact tie rule (dot desc, cluster asc) —
@@ -807,9 +894,17 @@ def ivf_topk(
         queries, cents, id_col, vec_col, n_probe, ["cluster"]
     )
 
-    scored = _probe_rerank_arrow(inv, probe_rows, ["cluster"]).filter(
-        F.col("vec_id") != F.col("query_id")
+    # assignment + norm + scoring fused into the re-rank kernel's single
+    # corpus pass (assign_matrix): the interpreted per-row dots
+    # projection disappears; values/tie rule identical (see kernel doc)
+    inv = _spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        )
     )
+    scored = _probe_rerank_arrow(
+        inv, probe_rows, ["cluster"], assign_matrix=cents
+    ).filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -838,14 +933,15 @@ def write_ivf_index(
     clusters lists and reads ONLY those 4 directories — at 10^12 vectors
     the difference between scanning ~0.4% and 100% of the index. On
     Iceberg the same layout is a ``PARTITIONED BY (cluster)`` table and
-    the pruning is manifest-level. Assignment via ``_with_dots`` (the
-    broadcast centroid matrix column, one plan node at any size)."""
-    inv = _with_dots(
-        _spread(corpus.select(id_col, vec_col)), centroids, vec_col, "_dots"
+    the pruning is manifest-level. Assignment via the ``_assign_arrow``
+    kernel (bit-identical cells to the JVM expression form at numpy
+    speed)."""
+    inv = _assign_arrow(
+        _spread(corpus.select(id_col, vec_col)), centroids, id_col, vec_col
     ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        _cluster_from_dots(F.col("_dots")).alias("cluster"),
+        "cluster",
     )
     # cluster assignment runs pre-shuffle at full width; the shuffle on
     # the partition key then gives ONE file per cluster per writer
@@ -1103,7 +1199,8 @@ def assign_two_level(
 ) -> DataFrame:
     """(vec_id, cv, coarse_id, fine_id) — the inverted-file assignment.
 
-    Coarse: one bounded-plan dots column (``_with_dots``). Fine: an
+    Coarse: one ``_assign_arrow`` kernel pass (bit-identical cells to
+    the JVM expression form at numpy speed). Fine: an
     equi-join on coarse_id against the k_coarse-row fine frame, then one
     argmax over the joined cell's array. The fine join carries NO
     broadcast hint (VERDICT r5 #2): each fine row is k_fine × dim
@@ -1118,12 +1215,16 @@ def assign_two_level(
     k_fine. Rows whose coarse cell got no sample rows (no fine row —
     possible only when the cell is empty of sample but not of corpus)
     keep fine_id 0 via the left join's coalesce."""
-    c = _with_dots(
-        _spread(df.select(id_col, vec_col)), index.coarse, vec_col, "_dots"
+    c = _assign_arrow(
+        _spread(df.select(id_col, vec_col)),
+        index.coarse,
+        id_col,
+        vec_col,
+        out_col="coarse_id",
     ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        _cluster_from_dots(F.col("_dots")).alias("coarse_id"),
+        "coarse_id",
     )
     j = c.join(index.fine, "coarse_id", "left")
     return j.select(
