@@ -469,18 +469,29 @@ def _rank_select_core(
                 break
 
     # ---- scan 3: exact (value, count) inside candidate buckets only ----
-    # membership in the candidate (group, column, bucket) set is a
-    # broadcast semi-join against a tiny frame — a hash probe per row
-    # instead of a nested when/isin chain (the chain form evaluated the
-    # per-group bucket grid three times per row and defeated codegen:
-    # 12.3 s vs ~1.5 s for this scan, measured r6 at sf1.0)
-    cand_rows = [
-        pkey + (c, b) for (pkey, c), b2r in target.items() for b in b2r
-    ]
-    pc_schema = ", ".join(f"{k}_r long" for k in pc)
-    cand_df = spark.createDataFrame(
-        cand_rows, schema=f"{pc_schema}, column string, bucket long"
-    )
+    # membership in the tiny candidate (group, column, bucket) set is a
+    # when/isin chain over the POST-explode plain columns — bucket is
+    # already materialized by the Generate, so the chain never
+    # re-evaluates the bucket grid and stays fully codegen'd. A
+    # broadcast-join probe on the same set measured ~5 s slower at
+    # sf4.0 (the exchange-planned join breaks the scan→explode→agg
+    # codegen pipeline); the r5-era slow chain this comment used to warn
+    # about was slow only because it re-derived bucket_of per reference.
+    def member_of(c):
+        expr = F.lit(False)
+        for (pkey, cc), b2r in target.items():
+            if cc != c:
+                continue
+            expr = F.when(
+                group_cond(pkey),
+                F.col("bucket").isin([int(b) for b in b2r]),
+            ).otherwise(expr)
+        return expr
+
+    keep = F.lit(False)
+    for c in cols:
+        keep = F.when(F.col("column") == c, member_of(c)).otherwise(keep)
+
     entries3 = [
         F.struct(
             F.lit(c).alias("c"), bucket_of(c).alias("b"), v(c).alias("val")
@@ -497,11 +508,8 @@ def _rank_select_core(
         )
         .filter(F.col("bucket").isNotNull())
     )
-    joined = exploded3.join(F.broadcast(cand_df), ["column", "bucket"])
-    for k in pc:
-        joined = joined.filter(F.col(k).eqNullSafe(F.col(f"{k}_r")))
     got = (
-        joined.select(*pc, "column", "bucket", "val")
+        exploded3.filter(keep)
         .groupBy(*pc, "column", "bucket", "val")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
@@ -530,7 +538,12 @@ def _rank_select_core(
             pos = p * (n - 1)
             lo = int(math.floor(pos))
             hi = int(math.ceil(pos))
-            if lo == hi:
+            if lo == hi or rank_val[lo] == rank_val[hi]:
+                # Percentile.getPercentile short-circuits BOTH an integer
+                # position and both ranks falling on the same distinct
+                # value (same index in its value->count array) — the raw
+                # interpolation formula would add ~1-ulp noise there
+                # (e.g. a*(0.1)+a*(0.9) != a; found by the sf4.0 A/B)
                 q = rank_val[lo]
             else:
                 # Percentile.getPercentile: lower*(higher-pos)+higher*(pos-lower)

@@ -230,3 +230,37 @@ def test_quantile_drift_flags_only_shifted_partition(spark, tables):
             assert abs(r["rel_shift"]) < 0.1
         else:
             assert r["rel_shift"] > 0.3
+
+
+def test_rank_select_path_matches_percentile_bit_exact(spark):
+    """The size gate routes small inputs to the `percentile` aggregate,
+    so the driver-scale rank-select path must be parity-covered by
+    FORCING it here: both paths bit-identical on a duplicate-heavy
+    fixture (runs of equal values put interpolation ranks on the same
+    distinct value — exactly where Percentile short-circuits instead of
+    interpolating; regression caught by the r6 sf4.0 A/B)."""
+    import neontology_spark.checks.stats as st
+    from neontology_spark.checks.stats import numeric_quantiles
+
+    # runs of duplicated values + a near-unique column, two groups
+    rows = [
+        (i % 3 + 1, float((i // 7) % 50 + 1), float(i) * 1.37 % 997.0)
+        for i in range(30_000)
+    ]
+    df = spark.createDataFrame(rows, "g long, dup double, uniq double")
+
+    saved = st._RANK_SELECT_MIN_VALUES
+    try:
+        st._RANK_SELECT_MIN_VALUES = 0  # force rank-select
+        a = numeric_quantiles(
+            df, ["dup", "uniq"], probs=(0.1, 0.5, 0.9, 0.99), part_col="g"
+        ).collect()
+        st._RANK_SELECT_MIN_VALUES = 1 << 60  # force percentile aggregate
+        b = numeric_quantiles(
+            df, ["dup", "uniq"], probs=(0.1, 0.5, 0.9, 0.99), part_col="g"
+        ).collect()
+    finally:
+        st._RANK_SELECT_MIN_VALUES = saved
+    ka = sorted((r["part"], r["column"], r["prob"], r["quantile"]) for r in a)
+    kb = sorted((r["part"], r["column"], r["prob"], r["quantile"]) for r in b)
+    assert ka == kb  # bit-exact, not approx
