@@ -59,12 +59,11 @@ def connected_components(
         .dropDuplicates()
         .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .dropDuplicates()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    # initial labels are the identity, so round 1's edge⋈labels join
+    # would join every edge to itself — skipped: the first round's
+    # contributions are just the raw neighbor ids (labels=None below),
+    # which also removes the up-front eager materialization job
+    labels = None
     converged = False
     for _ in range(max_iter):
         # neighbor label contributions unioned with the self labels, then
@@ -72,11 +71,20 @@ def connected_components(
         # shuffles/round (edge⋈labels + groupBy) — the join+agg+left-join
         # formulation costs a third; at 10^12 edges that's 1/3 of the
         # per-round shuffle bytes
-        contrib = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), "comp"
-        )
+        if labels is None:
+            contrib = sym.select(F.col("b").alias("node"), F.col("a").alias("comp"))
+            self_labels = (
+                sym.select(F.col("a").alias("node"))
+                .dropDuplicates()
+                .withColumn("comp", F.col("node"))
+            )
+        else:
+            contrib = sym.join(labels, sym["a"] == labels["node"]).select(
+                F.col("b").alias("node"), "comp"
+            )
+            self_labels = labels
         new = (
-            contrib.unionByName(labels)
+            contrib.unionByName(self_labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
@@ -98,7 +106,7 @@ def connected_components(
         new = (
             new.join(parent, new["comp"] == parent["_pn"], "left")
             .select("node", F.coalesce("_pc", "comp").alias("comp"))
-            .join(labels.withColumnRenamed("comp", "_old"), "node")
+            .join(self_labels.withColumnRenamed("comp", "_old"), "node")
             .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("comp") != F.col("_old")).count()
@@ -106,6 +114,13 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if labels is None:  # max_iter == 0 — identity labelling
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .dropDuplicates()
+            .withColumn("comp", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
     sym.unpersist()
     if not converged:
         msg = (
